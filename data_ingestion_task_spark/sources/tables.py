@@ -1,0 +1,57 @@
+"""Parquet table readers for the engine's canonical tables.
+
+The driver's testdata (TESTDATA.md) ships one parquet file per table;
+at 100 TB the same loader points at a partitioned directory per table
+(``.../lineitem/dt=*/...``) and nothing else changes — Spark handles
+partition discovery/pruning. Always read through these helpers so
+scans share schema handling and (later) bucketing metadata.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimensions that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projection into it.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which the
+    Spark reader rejects; read nanos as long and convert with integer
+    ``div`` (epoch-nanos exceed 2^53 — double math would corrupt the
+    low bits)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
