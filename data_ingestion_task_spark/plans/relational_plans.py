@@ -331,7 +331,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         load_table(spark, sf_dir, "orders")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select(
             "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -357,7 +357,7 @@ def page_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", F.row_number().over(w).alias("seq"))
+        .select("event_id", "user_id", F.row_number().over(w).cast("bigint").alias("seq"))
         .orderBy("user_id", "seq")
     )
 
