@@ -1,0 +1,122 @@
+"""kNN / similarity-search operators over ``array<float>`` embedding
+columns — the engine's signature feature (SURVEY §2.6).
+
+Reference behavior: FAISS ``IndexFlatIP`` after L2-normalize (cosine)
+with ``index.search(queries, k)`` (`code/python/Faiss_2_10.py:70-146`,
+`code/python/Neww_Fai.py:339-340`). Spark-first re-expression:
+
+- **Exact path** (index side fits in a broadcast, ≲1M rows): broadcast
+  the index, cross-join, window top-k. One shuffle (the window's
+  partition by query id); the join itself is shuffle-free.
+- **Scale path** (100 TB): deterministic random-hyperplane LSH —
+  signature computed per row (narrow), equi-join on bucket (hash
+  shuffle on a short key instead of an all-pairs product), exact
+  re-rank within buckets. Hyperplanes are derived from md5 so any
+  engine (and the DuckDB oracle) regenerates them bit-identically.
+
+All arithmetic promotes float→double elementwise and reduces
+sequentially, making scores bitwise-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot, l2_normalize
+
+
+def hyperplane(bit: int, dim: int, salt: str = "lsh") -> list[float]:
+    """Deterministic ±1 hyperplane: component i is +1 iff the md5-hash
+    of ``{salt}:{bit}:{i}`` is even — reproducible in any engine."""
+    return [
+        1.0 if int(hashlib.md5(f"{salt}:{bit}:{i}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def lsh_signature(vec: Column, n_bits: int, dim: int, salt: str = "lsh") -> Column:
+    """Bit-string bucket id: bit j = (vec · hyperplane_j) > 0."""
+    bits = []
+    for j in range(n_bits):
+        hp = F.array(*[F.lit(v) for v in hyperplane(j, dim, salt)])
+        bits.append(F.when(dot(vec, hp) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize once so cosine reduces to a dot product in the
+    join (the reference normalizes before indexing, not per query)."""
+    return df.withColumn(vec_col, l2_normalize(F.col(vec_col)))
+
+
+def knn_join_exact(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    prenormalized: bool = False,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast index × queries → window.
+
+    Output: (query_id, rank, neighbor_id, sim). Ties broken by
+    neighbor id → fully deterministic. The index side is broadcast —
+    at cluster scale this is exact-kNN for dimension-table-sized
+    corpora; beyond that use :func:`knn_join_lsh`.
+    """
+    q = query_df if prenormalized else normalize_embeddings(query_df, vec_col)
+    x = index_df if prenormalized else normalize_embeddings(index_df, vec_col)
+    q = q.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    x = x.select(F.col(index_id), F.col(vec_col).alias("_xv"))
+    pairs = q.join(F.broadcast(x), F.lit(True))
+    sim = dot(F.col("_qv"), F.col("_xv"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))
+    return (
+        pairs.select(query_id, index_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_lsh(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    n_bits: int,
+    dim: int,
+    query_id: str = "query_id",
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signature, exact cosine
+    re-rank within buckets. The all-pairs product becomes an equi-join
+    on a 2^n_bits-ary key — shuffle cost O(N) instead of O(N·M).
+    Recall is tunable via n_bits (fewer bits → bigger buckets → higher
+    recall); multi-probe/banding variants build on the same signature.
+    """
+    q = normalize_embeddings(query_df, vec_col)
+    x = normalize_embeddings(index_df, vec_col)
+    sig_q = q.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        lsh_signature(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    sig_x = x.select(
+        F.col(index_id),
+        F.col(vec_col).alias("_xv"),
+        lsh_signature(F.col(vec_col), n_bits, dim).alias("bucket"),
+    )
+    pairs = sig_q.join(sig_x, "bucket")
+    sim = dot(F.col("_qv"), F.col("_xv"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))
+    return (
+        pairs.select(query_id, index_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

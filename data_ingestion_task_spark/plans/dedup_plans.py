@@ -1,1 +1,338 @@
-"""Placeholder — queries land in milestone order (SURVEY.md §7)."""
+"""Deduplication plans — first-class training-data pipeline operators:
+exact (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The testdata documents are synthetic word-soup (max pairwise Jaccard
+≈ 0.02), so the exact/MinHash plans PLANT deterministic duplicates
+inside the query (identical copies at doc_id+200000; near-dup copies
+with the first 5 words dropped at doc_id+100000) and verify the
+pipeline recovers exactly those pairs — a self-contained recall test
+the DuckDB oracle reproduces bit-for-bit.
+
+Scale notes (100 TB):
+- exact dedup = one shuffle on the 128-bit fingerprint; map-side
+  partial counts make the agg skew-tolerant.
+- MinHash: signatures are a narrow map stage (explode→min-agg is
+  per-doc); the LSH band join shuffles on short band keys, candidate
+  verification touches only colliding pairs — O(N·bands) not O(N²).
+- SimHash: one pass, 24 aggregate bit-sums per doc, then radix-split
+  by signature prefix for hamming search.
+- embedding near-dup: the brute pair scan here is the oracle-exact
+  baseline; the scale path reuses the LSH bucket join of
+  ``operators.knn.knn_join_lsh``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, hash64, word_shingles, words
+from ..sources.tables import load_table
+from .registry import query
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 minhash values per band
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB fragments
+# ---------------------------------------------------------------------------
+
+_D_NORM_TEXT = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')"
+)
+_D_WS = "str_split_regex(trim(text), '\\s+')"
+
+# 3-word shingles over the normalized text (matches functions.text.word_shingles)
+_D_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len(str_split({_D_NORM_TEXT}, ' ')) - 2, 1)), "
+    f"i -> array_to_string(str_split({_D_NORM_TEXT}, ' ')[i : i+2], ' ')))"
+)
+
+
+def _d_hash64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# Corpus with planted duplicates, as a DuckDB CTE body.
+_D_CORPUS = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string({_D_WS}[6 : len({_D_WS})], ' ') AS text
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 30
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + planted near-dups (first 5 words dropped, +100000)
+    + planted exact dups (+200000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = words(F.col("text"))
+    near = (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(ws, 6, F.size(ws) - 5)).alias("text"),
+        )
+    )
+    exact = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_D_CORPUS}),
+    fp AS (
+      SELECT doc_id, md5({_D_NORM_TEXT}) AS fingerprint FROM corpus
+    )
+    SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
+    ORDER BY canonical_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → hash-groupBy
+    → keep min doc_id as canonical. Emits only duplicate groups (the
+    30 planted identical copies must all be recovered)."""
+    c = _corpus(spark, sf_dir)
+    return (
+        c.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("canonical_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sigs(c: DataFrame) -> DataFrame:
+    """doc_id → 8 minhash values (min over per-shingle salted hashes)."""
+    sh = c.select("doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"))
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_D_CORPUS}),
+    sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join("MIN(" + _d_hash64(f"'{i}:' || s") + f") AS sig{i}" for i in range(N_MINHASH))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}:' || CAST(sig{2*b} AS VARCHAR) || ':' || CAST(sig{2*b+1} AS VARCHAR) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id, {_D_SHINGLES} AS sh FROM corpus
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(x.sh || y.sh)), 9) AS jaccard
+    FROM cand c JOIN shl x ON x.doc_id = c.doc_a JOIN shl y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(x.sh || y.sh)) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → 8 salted min-hashes →
+    4 bands of 2 → band-key equi-join → exact Jaccard verification of
+    candidates only, threshold 0.5. Recovers the planted
+    first-5-words-dropped copies (Jaccard ≈ 0.9) plus the exact
+    copies, without any all-pairs comparison."""
+    c = _corpus(spark, sf_dir)
+    sigs = _minhash_sigs(c)
+    band_structs = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.col(f"sig{2*b}").cast("string"),
+                F.lit(":"),
+                F.col(f"sig{2*b+1}").cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shl = c.select("doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"))
+    joined = (
+        cand.join(shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b", F.round("j", 9).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 24
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_d_hash64("unnest(" + _D_SHINGLES + ")")} AS h FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(
+               f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+               for b in range(N_SIMHASH_BITS)
+             )}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(N_SIMHASH_BITS))} AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (24-bit): per-shingle salted hash, per-bit ±1 majority
+    vote, bits reassembled into one integer signature. Near-dups then
+    reduce to hamming-distance ≤ t on the signature (radix-split by
+    prefix at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
+    ).select("doc_id", hash64(F.col("s")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    bits = sh.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for b in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Brute-force n-gram Jaccard (oracle-exact baseline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_topk",
+    oracle=f"""
+    WITH shl AS (
+      SELECT doc_id, {_D_SHINGLES} AS sh FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 9) AS jaccard
+    FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard, top-20 most-similar pairs — the
+    brute-force baseline the MinHash path approximates (bounded to a
+    60-doc prefix: quadratic by design, for verification only)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    shl = d.select("doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"))
+    a = shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_D_VNORM = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))"
+)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_D_VNORM} AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v), 9) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) > 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim > 0.35). This exact
+    pair scan is the verification baseline; at scale the same
+    predicate runs over ``knn_join_lsh`` bucket candidates."""
+    from ..functions.vectors import dot
+    from ..operators.knn import normalize_embeddings
+
+    e = normalize_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    sim = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") > 0.35)
+        .select("vec_a", "vec_b", F.round("sim", 9).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

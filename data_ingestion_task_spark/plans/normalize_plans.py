@@ -200,7 +200,7 @@ def address_vendor_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "null_canonicalization",
-    oracle="""
+    oracle=r"""
     SELECT p_partkey,
            CASE p_partkey % 4
              WHEN 0 THEN 'NULL' WHEN 1 THEN 'NULL' WHEN 2 THEN 'NULL'

@@ -1,1 +1,280 @@
-"""Placeholder — queries land in milestone order (SURVEY.md §7)."""
+"""Vector / similarity-search plans (SURVEY §2.6) over the
+``embeddings`` table (64-dim float vectors + integer labels).
+
+Query/index split is deterministic (vec_id % 5): 20% queries, 80%
+index — mirroring the reference's train/test split ahead of FAISS
+indexing. Exact path broadcasts the index side; the LSH plan shows
+the 100 TB scale path (equi-join on signature buckets instead of the
+all-pairs product).
+
+Cross-engine parity: float→double promotion + sequential reduction
+makes dot products bitwise-identical in Spark and DuckDB (verified);
+scores are rounded to 9 dp at the output edge only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, ip_to_unit, l2_distance
+from ..operators.knn import hyperplane, knn_join_exact, knn_join_lsh, normalize_embeddings
+from ..sources.tables import load_table
+from .registry import query
+
+DIM = 64
+_D_VNORM = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))"
+)
+
+_D_SPLIT = f"""
+    WITH n AS (
+      SELECT vec_id, label, {_D_VNORM} AS v FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, label AS query_label, v FROM n WHERE vec_id % 5 = 0),
+       x AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, v FROM n WHERE vec_id % 5 <> 0),
+       p AS (SELECT q.query_id, q.query_label, x.neighbor_id, x.neighbor_label,
+                    list_dot_product(q.v, x.v) AS sim
+             FROM q CROSS JOIN x),
+       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM p)
+"""
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"), "embedding"
+    )
+    return q, x
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=_D_SPLIT
+    + """
+    SELECT query_id, rnk, neighbor_id, round(sim, 9) AS sim
+    FROM r WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS IndexFlatIP search(q, k=3) (Faiss_2_10.py:141) as
+    broadcast brute-force cosine + window top-k. L2-normalize once per
+    side (Neww_Fai.py:339-340), then cosine = dot."""
+    q, x = _split(spark, sf_dir)
+    res = knn_join_exact(x, q, k=3)
+    return res.select(
+        "query_id", F.col("rank").alias("rnk"), "neighbor_id", F.round("sim", 9).alias("sim")
+    ).orderBy("query_id", "rnk")
+
+
+@query(
+    "knn_label_vote",
+    oracle=_D_SPLIT
+    + """
+    SELECT query_label,
+           COUNT(*) AS n_queries,
+           SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS accuracy
+    FROM r WHERE rnk = 1
+    GROUP BY query_label ORDER BY query_label
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 neighbor metadata vote (Fai_new.py:204-211,
+    Faiss_2_10.py:494-501) + per-class accuracy aggregation
+    (Neww_Fai.py:1058-1110)."""
+    q, x = _split(spark, sf_dir)
+    top1 = knn_join_exact(
+        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=1
+    )
+    voted = (
+        top1.join(q.select("query_id", "query_label"), "query_id")
+        .join(x.select("neighbor_id", "neighbor_label"), "neighbor_id")
+    )
+    correct = (F.col("neighbor_label") == F.col("query_label")).cast("bigint")
+    return (
+        voted.groupBy("query_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.sum(correct).alias("n_correct"),
+            (F.sum(correct).cast("double") / F.count("*")).alias("accuracy"),
+        )
+        .orderBy("query_label")
+    )
+
+
+@query(
+    "label_probability_mean_sim",
+    oracle=_D_SPLIT
+    + """
+    , k5 AS (SELECT * FROM r WHERE rnk <= 5),
+    bylabel AS (
+      SELECT query_id, neighbor_label AS label,
+             CAST(SUM((1 + sim) / 2) AS DOUBLE) / COUNT(*) AS mean_unit_sim
+      FROM k5 GROUP BY query_id, neighbor_label
+    ),
+    normed AS (
+      SELECT query_id, label, mean_unit_sim,
+             mean_unit_sim / SUM(mean_unit_sim) OVER (PARTITION BY query_id) AS prob
+      FROM bylabel
+    )
+    SELECT query_id, label, round(mean_unit_sim, 9) AS mean_unit_sim, round(prob, 9) AS prob
+    FROM normed ORDER BY query_id, label
+    """,
+)
+def label_probability_mean_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label probability v2 (faiss_implimentation.py:425-463,
+    faiss_new_.py:543-571): per-label mean of unit-interval similarity
+    (1+cos)/2 over the k=5 neighborhood, normalized to sum 1 per
+    query. groupBy + window-normalize — no Python."""
+    q, x = _split(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    k5 = knn_join_exact(
+        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=5
+    ).join(x.select("neighbor_id", "neighbor_label"), "neighbor_id")
+    bylabel = (
+        k5.groupBy("query_id", F.col("neighbor_label").alias("label"))
+        .agg((F.sum(ip_to_unit(F.col("sim"))).cast("double") / F.count("*")).alias("mean_unit_sim"))
+    )
+    total = F.sum("mean_unit_sim").over(Window.partitionBy("query_id"))
+    return (
+        bylabel.withColumn("prob", F.col("mean_unit_sim") / total)
+        .select(
+            "query_id",
+            "label",
+            F.round("mean_unit_sim", 9).alias("mean_unit_sim"),
+            F.round("prob", 9).alias("prob"),
+        )
+        .orderBy("query_id", "label")
+    )
+
+
+@query(
+    "label_probability_softmax",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 5 = 0),
+       x AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, v FROM n WHERE vec_id % 5 <> 0),
+       p AS (SELECT q.query_id, x.neighbor_id, x.neighbor_label,
+                    sqrt(list_sum(list_transform(list_zip(q.v, x.v), z -> (z[1]-z[2])*(z[1]-z[2])))) AS dist
+             FROM q CROSS JOIN x),
+       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+             FROM p),
+       k5 AS (SELECT * FROM r WHERE rnk <= 5),
+       wts AS (SELECT query_id, neighbor_label, exp(-dist) AS w,
+                      SUM(exp(-dist)) OVER (PARTITION BY query_id) AS z
+               FROM k5)
+    SELECT query_id, neighbor_label AS label,
+           round(SUM(w / z), 6) AS prob_softmax
+    FROM wts GROUP BY query_id, neighbor_label
+    ORDER BY query_id, label
+    """,
+)
+def label_probability_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label probability v1 (faiss_implimentation.py:403-423): softmax
+    over negative L2 distances of the k=5 neighborhood (IndexFlatL2
+    semantics), summed per label. 6-dp rounding absorbs libm exp ulp
+    differences across engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("_xv"),
+    )
+    pairs = q.join(F.broadcast(x), F.lit(True)).select(
+        "query_id", "neighbor_id", "neighbor_label",
+        l2_distance(F.col("_qv"), F.col("_xv")).alias("dist"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    k5 = pairs.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= 5)
+    z = F.sum(F.exp(-F.col("dist"))).over(Window.partitionBy("query_id"))
+    wts = k5.select(
+        "query_id", "neighbor_label", (F.exp(-F.col("dist")) / z).alias("wz")
+    )
+    return (
+        wts.groupBy("query_id", F.col("neighbor_label").alias("label"))
+        .agg(F.round(F.sum("wz"), 6).alias("prob_softmax"))
+        .orderBy("query_id", "label")
+    )
+
+
+def _duck_lsh_bucket(vec_expr: str, n_bits: int) -> str:
+    """DuckDB bucket expression with hyperplanes inlined as literals
+    generated from the SAME md5 derivation the Spark operator uses."""
+    bits = []
+    for j in range(n_bits):
+        hp = hyperplane(j, DIM)
+        lit = "[" + ",".join(str(v) for v in hp) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_D_VNORM} AS v FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, v, {_duck_lsh_bucket('v', 4)} AS bucket FROM n
+    ), q AS (SELECT vec_id AS query_id, v, bucket FROM sigs WHERE vec_id % 5 = 0),
+       x AS (SELECT vec_id AS neighbor_id, v, bucket FROM sigs WHERE vec_id % 5 <> 0),
+       p AS (SELECT q.query_id, x.neighbor_id, list_dot_product(q.v, x.v) AS sim
+             FROM q JOIN x USING (bucket)),
+       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk,
+                    COUNT(*) OVER (PARTITION BY query_id) AS n_candidates
+             FROM p)
+    SELECT query_id, neighbor_id, round(sim, 9) AS sim, n_candidates
+    FROM r WHERE rnk = 1 ORDER BY query_id
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — the 100 TB scale path: 4-bit deterministic
+    random-hyperplane LSH → equi-join on bucket → exact cosine re-rank
+    within bucket. Replaces the O(N·M) product with an O(N) shuffle on
+    a 16-ary key; recall tunes via bit count / multi-probe."""
+    from pyspark.sql.window import Window
+
+    q, x = _split(spark, sf_dir)
+    res = knn_join_lsh(
+        x.select("neighbor_id", "embedding"),
+        q.select("query_id", "embedding"),
+        k=1,
+        n_bits=4,
+        dim=DIM,
+    )
+    # n_candidates = bucket-mates examined per query (re-derive via the
+    # same join shape to keep the operator's output minimal).
+    sig_q = normalize_embeddings(q.select("query_id", "embedding"))
+    sig_x = normalize_embeddings(x.select("neighbor_id", "embedding"))
+    from ..operators.knn import lsh_signature
+
+    cand = (
+        sig_q.select("query_id", lsh_signature(F.col("embedding"), 4, DIM).alias("bucket"))
+        .join(
+            sig_x.select(lsh_signature(F.col("embedding"), 4, DIM).alias("bucket")),
+            "bucket",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_candidates"))
+    )
+    return (
+        res.filter(F.col("rank") == 1)
+        .join(cand, "query_id")
+        .select("query_id", "neighbor_id", F.round("sim", 9).alias("sim"), "n_candidates")
+        .orderBy("query_id")
+    )
