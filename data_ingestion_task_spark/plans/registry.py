@@ -69,6 +69,7 @@ def load_all() -> None:
         dedup_plans,
         eval_plans,
         events_plans,
+        extract_plans,
         normalize_plans,
         relational_plans,
         text_plans,
