@@ -277,3 +277,40 @@ def json_repair_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).alias("sum_k"),
         )
     )
+
+
+@query(
+    "json_repair_udf_recover",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           COUNT(*) AS n_repaired,
+           SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS sum_k
+    FROM events
+    """,
+)
+def json_repair_udf_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python repair fallback (json_error.py multi-stage chain as
+    an Arrow-batched pandas UDF): payloads are mangled five ways —
+    prose+code-fence wrap, trailing comma, single-quoted, truncated
+    (brace lost), clean — and every class must be recovered, so the
+    oracle is simply the aggregate over the ORIGINAL clean payloads.
+    At scale this UDF runs only on the minority of rows the JVM-side
+    regex path failed to parse."""
+    from ..functions.json_repair import repair_json_udf
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "props")
+    h = hash64(F.concat(F.lit("u:"), F.col("event_id").cast("string")))
+    raw = (
+        F.when(h % 5 == 0, F.concat(F.lit("Sure! Here it is:\n```json\n"), F.col("props"), F.lit("\n```")))
+        .when(h % 5 == 1, F.regexp_replace(F.col("props"), r"\}$", ",}"))
+        .when(h % 5 == 2, F.translate(F.col("props"), '"', "'"))
+        .when(h % 5 == 3, F.expr("substring(props, 1, length(props) - 1)"))
+        .otherwise(F.col("props"))
+    )
+    repaired = repair_json_udf()(raw)
+    k = F.get_json_object(F.col("repaired"), "$.k").cast("bigint")
+    return e.select(repaired.alias("repaired")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("repaired").isNotNull().cast("int")).alias("n_repaired"),
+        F.sum(k).alias("sum_k"),
+    )

@@ -70,6 +70,8 @@ def load_all() -> None:
         eval_plans,
         events_plans,
         extract_plans,
+        ml_plans,
+        multimodal_plans,
         normalize_plans,
         relational_plans,
         text_plans,

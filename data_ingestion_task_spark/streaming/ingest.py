@@ -1,0 +1,138 @@
+"""Structured Streaming ingestion (SURVEY §2.10): the reference's OCR
+Agent design (code/python/ocr_agent_8_29.py:18-33,51-56) — watched
+inbox, auto-detect new documents, consolidate to a standard schema,
+parquet sink, per-run summary stats — expressed as a file-source
+``readStream`` with checkpointed exactly-once sinks.
+
+Design:
+- The TRANSFORMATION is shared with batch (``ingest_transform``): the
+  same DataFrame expression graph runs under ``spark.read`` and
+  ``spark.readStream`` unchanged, so every streaming pipeline has an
+  oracle-checkable batch twin (plans/text_plans.py, events_plans.py).
+- Checkpointing replaces the reference's interim-CSV saves
+  (rag_2_26_1.py:141-151): offsets + sink metadata give exactly-once
+  ingest across restarts; re-running with the same checkpoint ingests
+  only new files.
+- ``foreachBatch`` computes the run-summary stats the OCR agent logs
+  (docs, pages, words — ocr_agent_8_29.py:28-29) without a second
+  pass: the batch is already materialized for the sink.
+
+Scale notes (100 TB): file-source ingestion parallelizes per file;
+``maxFilesPerTrigger`` bounds batch size (micro-batch backpressure);
+the windowed aggregation keeps state per (window, type) only —
+watermarking expires state so it cannot grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..functions.text import char_len, fingerprint_md5, lang_id, quality_score, word_len
+
+
+def ingest_transform(df: DataFrame) -> DataFrame:
+    """Document consolidation: derive lengths, fingerprint, language
+    guess, quality score. Pure column expressions — identical under
+    batch and streaming execution."""
+    return df.select(
+        "doc_id",
+        "text",
+        "source",
+        char_len(F.col("text")).alias("char_len"),
+        word_len(F.col("text")).alias("word_len"),
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def document_stream(spark: SparkSession, inbox: str, schema: StructType) -> DataFrame:
+    """Watched-folder parquet source (the OCR agent's auto-detect
+    inbox). ``maxFilesPerTrigger`` keeps micro-batches bounded when a
+    backlog accumulates."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(inbox)
+    )
+
+
+def start_document_ingest(
+    spark: SparkSession,
+    inbox: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+    on_batch_summary: Callable[[dict], None] | None = None,
+) -> StreamingQuery:
+    """inbox → consolidate → parquet sink, exactly-once via checkpoint.
+    ``availableNow`` drains the current backlog and stops — the batch-
+    style run mode; drop it for continuous tailing."""
+    stream = ingest_transform(document_stream(spark, inbox, schema))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(out_dir)
+        if on_batch_summary is not None:
+            row = batch_df.agg(
+                F.count("*").alias("docs"),
+                F.coalesce(F.sum("word_len"), F.lit(0)).alias("words"),
+                F.coalesce(F.sum("char_len"), F.lit(0)).alias("chars"),
+                F.coalesce(F.avg("quality"), F.lit(0.0)).alias("avg_quality"),
+            ).collect()[0]
+            on_batch_summary({"batch_id": batch_id, **row.asDict()})
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling window counts with late-data watermark —
+    the streaming twin of plans/events_plans.events_tumbling_window
+    (identical grouping expression)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def start_windowed_event_counts(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    query_name: str,
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Stream events → watermarked 1-hour tumbling counts → in-memory
+    sink (complete mode) for inspection; swap for a parquet/Kafka sink
+    in production (append mode emits windows as the watermark passes
+    them)."""
+    events = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 64).parquet(inbox)
+    )
+    agg = windowed_event_counts(events, watermark)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,90 @@
+"""Tests for the Spark ML heads (§2.11) and the multimodal decode
+plumbing (blob features, fake image decode, NotImplementedError gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_task_spark.operators.ml import (
+    fit_logreg_head,
+    fit_mlp_head,
+    predict_head,
+)
+from data_ingestion_task_spark.operators.multimodal import (
+    attach_blob,
+    blob_features,
+    decode_image_features,
+)
+from data_ingestion_task_spark.sources.tables import load_table
+
+
+def _separable(spark, n=300, dim=8, classes=3):
+    """Deterministic linearly-separable embeddings: class c's vectors
+    cluster around one-hot(c) with small hash jitter."""
+    rows = []
+    for i in range(n):
+        c = i % classes
+        v = [0.1 * ((i * 31 + d * 17) % 7 - 3) / 3.0 for d in range(dim)]
+        v[c] += 3.0
+        rows.append((i, c, v))
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_mlp_head_learns_separable(spark):
+    df = _separable(spark)
+    train = df.filter(F.col("vec_id") % 5 != 0)
+    test = df.filter(F.col("vec_id") % 5 == 0)
+    model = fit_mlp_head(train, dim=8, n_classes=3)
+    preds = predict_head(model, test)
+    acc = preds.agg(
+        F.avg((F.col("pred_label") == F.col("true_label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95
+
+
+def test_logreg_head_learns_separable(spark):
+    df = _separable(spark)
+    model = fit_logreg_head(df)
+    preds = predict_head(model, df)
+    acc = preds.agg(
+        F.avg((F.col("pred_label") == F.col("true_label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.95
+
+
+def test_blob_features_match_jvm_derivation(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source").limit(50)
+    feats = blob_features(attach_blob(d))
+    jvm = d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("checksum"),
+    )
+    joined = feats.join(jvm, "doc_id", "inner").filter(
+        (feats.n_bytes == jvm.n_bytes) & (feats.checksum == jvm.checksum)
+    )
+    assert joined.count() == 50
+
+
+def test_fake_image_decode_shape_and_determinism(spark, sf_dir):
+    d = attach_blob(load_table(spark, sf_dir, "documents").select("doc_id", "text", "source").limit(20))
+    out1 = decode_image_features(d, fake=True).orderBy("doc_id").collect()
+    out2 = decode_image_features(d, fake=True).orderBy("doc_id").collect()
+    assert out1 == out2
+    assert len(out1) == 20
+    for r in out1:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64 and r.n_channels == 3
+        assert len(r.feat) == 8
+        assert abs(sum(r.feat) - 1.0) < 1e-5
+
+
+def test_real_image_decode_gated(spark, sf_dir):
+    d = attach_blob(load_table(spark, sf_dir, "documents").select("doc_id", "text", "source").limit(1))
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available — gate not exercised")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_features(d, fake=False)
