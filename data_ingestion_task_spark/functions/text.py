@@ -183,8 +183,21 @@ def hash64(s: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """array<string> of k-word shingles over the normalized text; docs
-    shorter than k words yield one whole-text shingle."""
-    ws = F.split(normalized_for_fingerprint(text), " ")
-    n = F.size(ws)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+    shorter than k words yield one whole-text shingle.
+
+    The words array is LET-BOUND via a one-element ``transform`` so
+    the regex-normalize+split chain runs once per document. Naively
+    referencing the split expression inside the per-position lambda
+    re-evaluates it for EVERY shingle position (higher-order
+    functions are interpreted, no common-subexpression elimination) —
+    O(positions × text_length) regex work, ~30× slower on real docs.
+    """
+
+    def body(ws: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1)))
+        return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+
+    bound = F.transform(
+        F.array(F.split(normalized_for_fingerprint(text), " ")), body
+    )
+    return F.element_at(bound, 1)

@@ -42,7 +42,10 @@ STATEMENT_PATTERNS: Patterns = {
 
 
 def make_regex_extractor(
-    patterns: Patterns, id_col: str = "doc_id", text_col: str = "text"
+    patterns: Patterns,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> Callable[[Iterator["pd.DataFrame"]], Iterator["pd.DataFrame"]]:
     """Build a ``mapInPandas`` function extracting one group per
     pattern. Missing field → null (the reference's empty-scaffold
@@ -52,6 +55,8 @@ def make_regex_extractor(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {id_col: pdf[id_col]}
+            for col in passthrough:
+                out[col] = pdf[col]
             for col, pat in patterns.items():
                 out[col] = pdf[text_col].str.extract(pat, expand=False)
             yield pd.DataFrame(out)
@@ -64,12 +69,24 @@ def extract_fields(
     patterns: Patterns,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Run the regex extractor over ``df[id_col, text_col]`` and return
-    ``(id_col, *pattern columns)`` — join back on ``id_col`` (explicit
-    key, never positional; SURVEY §2.3 zip-join replacement)."""
+    ``(id_col, *passthrough, *pattern columns)``.
+
+    ``passthrough`` forwards (ground-truth / metadata) columns through
+    the Arrow stage so a single pass replaces render→extract→join-back
+    — at scale this halves the upstream compute and removes a shuffle;
+    when extraction runs far from ingest, join back on ``id_col``
+    instead (explicit key, never positional — SURVEY §2.3)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    schema_fields = [by_name[id_col]] + [by_name[c] for c in passthrough]
     schema = ", ".join(
-        [f"{id_col} long"] + [f"{c} string" for c in patterns]
+        [f"{f.name} {f.dataType.simpleString()}" for f in schema_fields]
+        + [f"{c} string" for c in patterns]
     )
-    fn = make_regex_extractor(patterns, id_col=id_col, text_col=text_col)
-    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+    fn = make_regex_extractor(
+        patterns, id_col=id_col, text_col=text_col, passthrough=passthrough
+    )
+    cols = [id_col, *passthrough, text_col]
+    return df.select(*cols).mapInPandas(fn, schema=schema)

@@ -54,6 +54,85 @@ def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     return df.withColumn(vec_col, l2_normalize(F.col(vec_col)))
 
 
+def candidate_pairs_vectorized(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    query_id: str,
+    index_id: str,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    threshold: float | None = None,
+    margin: float = 1e-6,
+    upper_triangle: bool = False,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Numpy-prefiltered candidate generation for brute-force cosine
+    search: the (broadcast-sized) index becomes one float64 matrix on
+    every executor; each Arrow batch of queries does ONE BLAS matmul
+    against it and emits only pairs that can possibly reach the final
+    answer (top-k with a safety margin, or above threshold−margin).
+
+    The caller re-scores candidates with the exact JVM-side sequential
+    dot product, so results stay bit-identical to the pure-SQL plan —
+    numpy only decides WHICH pairs get scored, never the score. The
+    margin (1e-6 ≫ the ~1e-14 float64 reduction-order wobble) makes
+    the prefilter provably lossless.
+
+    Scale: this is the classic broadcast-index pattern (the reference
+    holds the whole FAISS index per GPU the same way,
+    faiss_implimentation.py:164-173); beyond broadcast size use
+    :func:`knn_join_lsh`.
+    """
+    import numpy as np
+
+    rows = index_df.select(index_id, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = query_df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bids, bmat = bc.value
+        xsq = (bmat * bmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if metric == "l2":
+                # rank by squared distance: ||x||² − 2·q·x (+‖q‖² const);
+                # negate so "larger is better" like cosine
+                sims = -(xsq[None, :] - 2.0 * (qm @ bmat.T))
+            else:
+                sims = qm @ bmat.T
+            qids = pdf[query_id].to_numpy()
+            out_q, out_n = [], []
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                mask = np.ones(row.size, dtype=bool)
+                if threshold is not None:
+                    mask &= row > (threshold - margin)
+                if k is not None and row.size > k:
+                    kth = np.partition(row, row.size - k)[row.size - k]
+                    mask &= row >= (kth - margin)
+                idx = np.nonzero(mask)[0]
+                if upper_triangle:
+                    idx = idx[bids[idx] > qids[i]]
+                out_q.append(np.full(idx.size, qids[i], dtype=np.int64))
+                out_n.append(bids[idx])
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+                    index_id: np.concatenate(out_n) if out_n else np.array([], dtype=np.int64),
+                }
+            )
+
+    return query_df.select(query_id, vec_col).mapInPandas(
+        gen, schema=f"{query_id} long, {index_id} long"
+    )
+
+
 def knn_join_exact(
     index_df: DataFrame,
     query_df: DataFrame,
@@ -62,19 +141,37 @@ def knn_join_exact(
     index_id: str = "neighbor_id",
     vec_col: str = "embedding",
     prenormalized: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast index × queries → window.
+    """Brute-force cosine top-k.
 
     Output: (query_id, rank, neighbor_id, sim). Ties broken by
     neighbor id → fully deterministic. The index side is broadcast —
     at cluster scale this is exact-kNN for dimension-table-sized
     corpora; beyond that use :func:`knn_join_lsh`.
+
+    ``vectorized=True`` (default) prefilters candidates with one BLAS
+    matmul per Arrow batch (see :func:`candidate_pairs_vectorized`),
+    then re-scores the ~k survivors per query with the exact JVM dot
+    product — same results, O(N·k) instead of O(N·M) rows through the
+    window. ``vectorized=False`` keeps the pure-SQL all-pairs plan.
     """
     q = query_df if prenormalized else normalize_embeddings(query_df, vec_col)
     x = index_df if prenormalized else normalize_embeddings(index_df, vec_col)
     q = q.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     x = x.select(F.col(index_id), F.col(vec_col).alias("_xv"))
-    pairs = q.join(F.broadcast(x), F.lit(True))
+    if vectorized:
+        cand = candidate_pairs_vectorized(
+            x.withColumnRenamed("_xv", vec_col),
+            q.withColumnRenamed("_qv", vec_col),
+            query_id=query_id,
+            index_id=index_id,
+            vec_col=vec_col,
+            k=k,
+        )
+        pairs = cand.join(q, query_id).join(F.broadcast(x), index_id)
+    else:
+        pairs = q.join(F.broadcast(x), F.lit(True))
     sim = dot(F.col("_qv"), F.col("_xv"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))
     return (

@@ -122,26 +122,40 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sigs(c: DataFrame) -> DataFrame:
-    """doc_id → 8 minhash values (min over per-shingle salted hashes)."""
-    sh = c.select("doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"))
-    aggs = [
-        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"sig{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _minhash_sigs(hsl: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint> hashed shingles) → 8 minhash values:
+    min over re-salted hashes of each shingle hash. Computed as
+    ``array_min(transform(...))`` over the array — a NARROW map stage
+    (the explode→groupBy formulation costs a full shuffle of every
+    shingle; this costs none)."""
+    def sig(i: int) -> F.Column:
+        # NB: single-parameter lambda — a (h, i) lambda would make
+        # transform() pass the ARRAY INDEX as the second argument.
+        return F.array_min(
+            F.transform(
+                F.col("hs"), lambda h: hash64(F.concat(F.lit(f"{i}:"), h.cast("string")))
+            )
+        ).alias(f"sig{i}")
+
+    return hsl.select("doc_id", *[sig(i) for i in range(N_MINHASH)])
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH corpus AS ({_D_CORPUS}),
+    hsl AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_D_SHINGLES},
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      FROM corpus
+    ),
     sh AS (
-      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM corpus
+      SELECT doc_id, unnest(hs) AS h FROM hsl
     ),
     sigs AS (
       SELECT doc_id,
-             {", ".join("MIN(" + _d_hash64(f"'{i}:' || s") + f") AS sig{i}" for i in range(N_MINHASH))}
+             {", ".join("MIN(" + _d_hash64(f"'{i}:' || CAST(h AS VARCHAR)") + f") AS sig{i}" for i in range(N_MINHASH))}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
@@ -154,27 +168,48 @@ def _minhash_sigs(c: DataFrame) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b USING (band_key)
       WHERE a.doc_id < b.doc_id
-    ),
-    shl AS (
-      SELECT doc_id, {_D_SHINGLES} AS sh FROM corpus
     )
     SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(x.sh || y.sh)), 9) AS jaccard
-    FROM cand c JOIN shl x ON x.doc_id = c.doc_a JOIN shl y ON y.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          / len(list_distinct(x.sh || y.sh)) >= 0.5
+           round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+                 / len(list_distinct(x.hs || y.hs)), 9) AS jaccard
+    FROM cand c JOIN hsl x ON x.doc_id = c.doc_a JOIN hsl y ON y.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+          / len(list_distinct(x.hs || y.hs)) >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → 8 salted min-hashes →
-    4 bands of 2 → band-key equi-join → exact Jaccard verification of
-    candidates only, threshold 0.5. Recovers the planted
-    first-5-words-dropped copies (Jaccard ≈ 0.9) plus the exact
-    copies, without any all-pairs comparison."""
+    """MinHash+LSH near-dup pipeline: shingle → 60-bit hash per
+    shingle → 8 salted min-hashes → 4 bands of 2 → band-key equi-join
+    → exact Jaccard verification of candidates only, threshold 0.5.
+    Recovers the planted first-5-words-dropped copies (Jaccard ≈ 0.9)
+    plus the exact copies, without any all-pairs comparison.
+
+    Shingles are hashed to int64 BEFORE the persisted stage: caching
+    long arrays is ~10× cheaper than caching string arrays (columnar
+    cache builds dominate otherwise), Jaccard verification compares
+    longs not strings, and both engines hash identically so parity is
+    unaffected. The hashed-shingle array is computed once, persisted,
+    and reused by signatures, band keys, and verification."""
     c = _corpus(spark, sf_dir)
-    sigs = _minhash_sigs(c)
+    # repartition BEFORE the md5-heavy shingle map: the 3-way union
+    # otherwise yields one partition per branch, serializing the
+    # hashing; hash-partitioning by doc_id also pre-shuffles for the
+    # verification joins and parallelizes the columnar cache build.
+    shl = (
+        c.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(word_shingles(F.col("text"), 3), lambda s: hash64(s))
+            ).alias("hs"),
+        )
+        .persist()
+    )
+    shl.count()  # materialize BEFORE fan-out: the band self-join and the
+    # verification join all branch from shl; an unmaterialized cache
+    # makes those branches race to recompute every partition.
+    sigs = _minhash_sigs(shl).persist()
     band_structs = F.array(
         *[
             F.concat(
@@ -194,10 +229,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shl = c.select("doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"))
     joined = (
-        cand.join(shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(shl.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")), "doc_a")
+        .join(shl.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")), "doc_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -240,23 +274,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (24-bit): per-shingle salted hash, per-bit ±1 majority
     vote, bits reassembled into one integer signature. Near-dups then
     reduce to hamming-distance ≤ t on the signature (radix-split by
-    prefix at scale)."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
-    ).select("doc_id", hash64(F.col("s")).alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(N_SIMHASH_BITS)
-    ]
-    bits = sh.groupBy("doc_id").agg(*aggs)
+    prefix at scale).
+
+    Computed as a NARROW map: hash the shingle array once per doc,
+    then 24 ``size(filter(...))`` bit-counts over that array — the
+    majority vote ``sum(±1) > 0`` is equivalent to ``2·popcount >
+    n``. No explode, no shuffle (the explode→groupBy form shuffles
+    every (doc, shingle) row)."""
+    d = load_table(spark, sf_dir, "documents", split=True)
+    hs = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(word_shingles(F.col("text"), 3)), lambda s: hash64(s)
+        ).alias("hs"),
+    )
+    n = F.size("hs")
     simhash = None
     for b in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        # single-parameter lambda (see _minhash_sigs note); the loop
+        # variable is bound immediately — filter() builds the
+        # expression synchronously.
+        cnt = F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, b).bitwiseAND(1) == 1)
+        )
+        term = F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return bits.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
+    return hs.select("doc_id", simhash.cast("bigint").alias("simhash")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -319,18 +362,32 @@ _D_VNORM = (
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim > 0.35). This exact
-    pair scan is the verification baseline; at scale the same
-    predicate runs over ``knn_join_lsh`` bucket candidates."""
+    """Embedding-cosine near-duplicate pairs (sim > 0.35), exact.
+    Candidate pairs come from one BLAS matmul per Arrow batch against
+    the broadcast matrix (threshold − 1e-6 margin → provably lossless
+    prefilter); each candidate is then re-scored with the JVM-side
+    sequential dot product, so output is bit-identical to the naive
+    all-pairs plan while scoring only ~|answer| pairs. Beyond
+    broadcast size the same predicate runs over ``knn_join_lsh``
+    bucket candidates."""
     from ..functions.vectors import dot
-    from ..operators.knn import normalize_embeddings
+    from ..operators.knn import candidate_pairs_vectorized, normalize_embeddings
 
     e = normalize_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cand = candidate_pairs_vectorized(
+        e.select(F.col("vec_id").alias("vec_b"), "embedding"),
+        e.select(F.col("vec_id").alias("vec_a"), "embedding"),
+        query_id="vec_a",
+        index_id="vec_b",
+        threshold=0.35,
+        upper_triangle=True,
+    )
     sim = dot(F.col("va"), F.col("vb"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") > 0.35)
         .select("vec_a", "vec_b", F.round("sim", 9).alias("sim"))

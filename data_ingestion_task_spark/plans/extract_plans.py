@@ -43,7 +43,7 @@ def _docs_with_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
       vendor vv = o_custkey % 4: 0 'CapitalOne' / 1 'Capital One' /
              2 c_name / 3 line missing
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
 
@@ -134,8 +134,12 @@ def extraction_e2e_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metrics_8_6.py:36-64). The oracle derives expected accuracy
     independently from the variant residues."""
     docs = _docs_with_gt(spark, sf_dir)
-    extracted = extract_fields(docs, STATEMENT_PATTERNS)
-    scored = extracted.join(docs.drop("text"), "doc_id")
+    # GT rides through the Arrow stage: one render pass, no join-back.
+    scored = extract_fields(
+        docs,
+        STATEMENT_PATTERNS,
+        passthrough=("gt_money", "gt_date", "gt_acct", "gt_vendor"),
+    )
 
     def ok(c: Column) -> Column:
         return F.coalesce(c.cast("int"), F.lit(0))
@@ -144,18 +148,21 @@ def extraction_e2e_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_ok = ok(N.parse_date_multi(F.col("raw_date")) == F.col("gt_date"))
     acct_ok = ok(N.acct_last4(F.col("raw_account")) == F.col("gt_acct"))
     vendor_ok = ok(N.normalize_vendor(F.col("raw_vendor")) == F.col("gt_vendor"))
-    per_field = [
-        ("account_last4", acct_ok),
-        ("statement_date", date_ok),
-        ("total_due", money_ok),
-        ("vendor_name", vendor_ok),
-    ]
-    parts = [
-        scored.select(F.lit(name).alias("field"), col.alias("ok")) for name, col in per_field
-    ]
-    long = parts[0]
-    for p in parts[1:]:
-        long = long.unionByName(p)
+    # flags materialized in ONE projection, then stack()-unpivoted —
+    # a per-field union would re-run the whole render+extract subtree
+    # once per branch.
+    flags = scored.select(
+        acct_ok.alias("f_acct"),
+        date_ok.alias("f_date"),
+        money_ok.alias("f_money"),
+        vendor_ok.alias("f_vendor"),
+    )
+    long = flags.select(
+        F.expr(
+            "stack(4, 'account_last4', f_acct, 'statement_date', f_date, "
+            "'total_due', f_money, 'vendor_name', f_vendor) AS (field, ok)"
+        )
+    )
     return (
         long.rollup("field")
         .agg(
@@ -286,7 +293,7 @@ def transactions_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode into a child table keyed by doc_id (the ArrayType↔child
     -table duality of SURVEY §1.1). All JVM-side — the array
     extraction never leaves codegen."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     v = F.col("o_totalprice").try_cast("decimal(18,2)")
     od = F.col("o_orderdate").cast("date")
     vend = F.concat(F.lit("V"), (F.col("o_orderkey") % 50).cast("string"))

@@ -60,7 +60,7 @@ def money_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_totalprice: plain, parenthesized, trailing-minus, CR-suffixed,
     garbage (→NULL), pre-formatted with $/commas. The oracle derives
     the expected canonical string directly from the numeric."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     v = F.col("o_totalprice").try_cast("decimal(18,2)")
     plain = v.cast("string")
     variant = F.col("o_orderkey") % 6
@@ -98,7 +98,7 @@ def money_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def credit_sign_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_ensure_negative_money (post_pro_9_8.py:75-110): credits forced
     negative except $0.00."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     display = N.format_money(F.col("o_totalprice").try_cast("decimal(18,2)"))
     return (
         o.select("o_orderkey", N.ensure_negative_money(display).alias("credit_amount"))
@@ -124,7 +124,7 @@ def date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderdate: M/d/yyyy (valid), ISO (valid), far-future (+500d past
     the fixed anchor → NULL), garbage (→ NULL). Anchor is pinned to
     the testdata's max date so the oracle is time-independent."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     d = F.col("o_orderdate").cast("date")
     anchor = F.lit("2025-12-31").cast("date")  # testdata dates end 2025
     variant = F.col("o_orderkey") % 4
@@ -156,7 +156,7 @@ def acct_last4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account masking (doc_promp_8_21.py:8-23): masked `xxxx1234` and
     `ending in:1234` forms yield last-4; raw digits yield NULL (never
     expose a full account number)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     last4 = F.right(F.concat(F.lit("000"), F.col("o_orderkey").cast("string")), F.lit(4))
     variant = F.col("o_orderkey") % 3
     s = (
@@ -265,7 +265,7 @@ def reference_number_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """17-char `YYYYMMDD DP NNNNNNN` reference extraction with a
     valid-date check (prompt_3_7.py:1-16): embedded in surrounding
     text when key%3==0; month-13 corruption otherwise (→ NULL)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", split=True)
     d = F.col("o_orderdate").cast("date")
     seven = F.right(F.concat(F.lit("0000000"), F.col("o_orderkey").cast("string")), F.lit(7))
     good = F.concat(F.date_format(d, "yyyyMMdd"), F.lit("DP"), seven)

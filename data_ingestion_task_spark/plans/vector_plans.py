@@ -185,6 +185,8 @@ def label_probability_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences across engines."""
     from pyspark.sql.window import Window
 
+    from ..operators.knn import candidate_pairs_vectorized
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -194,7 +196,18 @@ def label_probability_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("_xv"),
     )
-    pairs = q.join(F.broadcast(x), F.lit(True)).select(
+    # BLAS prefilter picks the ~k L2-nearest candidates per query; the
+    # exact JVM l2_distance then re-scores only those (bit-identical
+    # to the all-pairs plan — numpy never produces a score).
+    cand = candidate_pairs_vectorized(
+        x.select("neighbor_id", F.col("_xv").alias("embedding")),
+        q.select("query_id", F.col("_qv").alias("embedding")),
+        query_id="query_id",
+        index_id="neighbor_id",
+        k=5,
+        metric="l2",
+    )
+    pairs = cand.join(q, "query_id").join(F.broadcast(x), "neighbor_id").select(
         "query_id", "neighbor_id", "neighbor_label",
         l2_distance(F.col("_qv"), F.col("_xv")).alias("dist"),
     )

@@ -45,7 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Quieter local runs; harmless on a cluster.
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs all 32 executor threads in the driver JVM —
+        # size the heap for the whole "cluster" (the box has 128 GiB);
+        # on a real cluster this is per-executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -35,20 +35,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = False
+) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projection into it.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS) which the
     Spark reader rejects; read nanos as long and convert with integer
     ``div`` (epoch-nanos exceed 2^53 — double math would corrupt the
-    low bits)."""
+    low bits).
+
+    ``split=True``: round-robin repartition to the session's
+    parallelism before a COMPUTE-HEAVY narrow stage (md5/regex per
+    row). The local testdata is one single-row-group file — an
+    unsplittable 1-partition scan that would serialize the map. On
+    production data (many files / row groups per table) scans
+    parallelize natively and this shuffle of the raw scan is wasteful:
+    callers should pass split=True only when per-row compute dominates
+    a 1-file-scale input."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    if split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
