@@ -73,6 +73,7 @@ def load_all() -> None:
         ml_plans,
         multimodal_plans,
         normalize_plans,
+        refine_plans,
         relational_plans,
         text_plans,
         vector_plans,
