@@ -342,3 +342,112 @@ def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pages → single document assembly (§2.1: single_file_dff.py:43-53)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pages_to_doc_assembly",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, str_split_regex(trim(text), '\s+') AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(0, greatest(len(ws) - 1, 0), 32)) AS st
+      FROM w
+    ), pages AS (
+      SELECT doc_id, st // 32 AS pg, array_to_string(ws[st+1 : st+32], ' ') AS pg_text
+      FROM s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_pages,
+           md5(string_agg(pg_text, chr(10) ORDER BY pg)) AS doc_md5
+    FROM pages GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def pages_to_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages → one document text (single_file_dff.py:43-53,
+    ib_2_27.py:40-48: read per-page rows, join with '\\n'): page-split
+    the corpus (32-word pages), then reassemble per doc via
+    rank-ordered collect_list + array_join — collect_list alone is
+    order-nondeterministic under shuffle, so the sort_array(struct)
+    pattern is the parity-safe ordered aggregation. One shuffle on
+    doc_id; emits an md5 so the result row stays narrow at any scale."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = T.explode_chunks(d, text_col="text", id_cols=["doc_id"], chunk_size=32, overlap=0)
+    assembled = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk_text")))),
+            lambda s: s.getField("chunk_text"),
+        ),
+        "\n",
+    )
+    return (
+        pages.groupBy("doc_id")
+        .agg(F.count("*").alias("n_pages"), F.md5(assembled).alias("doc_md5"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide extraction pivot with "last" semantics (§1.1 wide form,
+# post_pro_9_8.py:118-124 pivot_table aggfunc='last')
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "extraction_pivot_wide",
+    oracle="""
+    WITH long AS (
+      SELECT doc_id, u.field AS field, u.value AS value, u.ord AS ord
+      FROM documents,
+           unnest(list_filter([
+             {'field': 'money',  'value': '$' || CAST(length(text) % 500 AS VARCHAR) || '.00', 'ord': 1},
+             CASE WHEN doc_id % 2 = 0
+                  THEN {'field': 'money', 'value': '$' || CAST(length(text) % 500 AS VARCHAR) || '.99', 'ord': 2}
+                  ELSE NULL END,
+             {'field': 'date',   'value': 'd' || CAST(doc_id % 28 + 1 AS VARCHAR), 'ord': 1},
+             {'field': 'vendor', 'value': source, 'ord': 1}
+           ], s -> s IS NOT NULL)) AS r(u)
+    )
+    SELECT doc_id,
+           arg_max(value, ord) FILTER (WHERE field = 'money')  AS money,
+           arg_max(value, ord) FILTER (WHERE field = 'date')   AS "date",
+           arg_max(value, ord) FILTER (WHERE field = 'vendor') AS vendor
+    FROM long GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def extraction_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide extraction pivot with pandas aggfunc='last' semantics
+    (post_pro_9_8.py:118-124): multiple revisions per (doc, field),
+    the wide cell takes the LAST by an explicit ord — max_by makes the
+    'last' well-defined (SURVEY §7: pandas 'last' is order-dependent;
+    ours pins the ordering so the oracle can match). Fixed pivot
+    domain → no extra distinct-values job, single shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    money1 = F.concat(F.lit("$"), (F.length("text") % 500).cast("string"), F.lit(".00"))
+    money2 = F.concat(F.lit("$"), (F.length("text") % 500).cast("string"), F.lit(".99"))
+    entry = lambda f, v, o: F.struct(  # noqa: E731
+        F.lit(f).alias("field"), v.alias("value"), F.lit(o).alias("ord")
+    )
+    entries = F.filter(
+        F.array(
+            entry("money", money1, 1),
+            F.when(F.col("doc_id") % 2 == 0, entry("money", money2, 2)),
+            entry("date", F.concat(F.lit("d"), (F.col("doc_id") % 28 + 1).cast("string")), 1),
+            entry("vendor", F.col("source"), 1),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    long = d.select("doc_id", F.inline(entries))
+    return (
+        long.groupBy("doc_id")
+        .pivot("field", ["money", "date", "vendor"])
+        .agg(F.max_by("value", "ord"))
+        .orderBy("doc_id")
+    )

@@ -262,32 +262,92 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 16-ary key; recall tunes via bit count / multi-probe."""
     from pyspark.sql.window import Window
 
-    q, x = _split(spark, sf_dir)
-    res = knn_join_lsh(
-        x.select("neighbor_id", "embedding"),
-        q.select("query_id", "embedding"),
-        k=1,
-        n_bits=4,
-        dim=DIM,
-    )
-    # n_candidates = bucket-mates examined per query (re-derive via the
-    # same join shape to keep the operator's output minimal).
-    sig_q = normalize_embeddings(q.select("query_id", "embedding"))
-    sig_x = normalize_embeddings(x.select("neighbor_id", "embedding"))
+    from ..functions.vectors import dot
     from ..operators.knn import lsh_signature
 
-    cand = (
-        sig_q.select("query_id", lsh_signature(F.col("embedding"), 4, DIM).alias("bucket"))
-        .join(
-            sig_x.select(lsh_signature(F.col("embedding"), 4, DIM).alias("bucket")),
-            "bucket",
-        )
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_candidates"))
+    q, x = _split(spark, sf_dir)
+    # One signature computation per side, one bucket join; top-1 and
+    # the examined-candidate count come from the same window pass
+    # (signatures are 4 HOF dot products per row — recomputing them
+    # for a second join doubled this query's cost).
+    sig_q = normalize_embeddings(q.select("query_id", "embedding")).select(
+        "query_id",
+        F.col("embedding").alias("_qv"),
+        lsh_signature(F.col("embedding"), 4, DIM).alias("bucket"),
+    )
+    sig_x = normalize_embeddings(x.select("neighbor_id", "embedding")).select(
+        "neighbor_id",
+        F.col("embedding").alias("_xv"),
+        lsh_signature(F.col("embedding"), 4, DIM).alias("bucket"),
+    )
+    pairs = sig_q.join(sig_x, "bucket").select(
+        "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id")
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.row_number()
+        .over(w.orderBy(F.desc("sim"), F.asc("neighbor_id")))
+        .alias("rnk"),
+        F.count("*").over(w).alias("n_candidates"),
     )
     return (
-        res.filter(F.col("rank") == 1)
-        .join(cand, "query_id")
+        ranked.filter(F.col("rnk") == 1)
         .select("query_id", "neighbor_id", F.round("sim", 9).alias("sim"), "n_candidates")
         .orderBy("query_id")
     )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_D_SPLIT
+    + """
+    , cent AS (
+      SELECT neighbor_id AS centroid_id, v AS cv FROM x WHERE neighbor_id % 25 = 1
+    ), assign AS (
+      SELECT x.neighbor_id, x.v, cent.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY x.neighbor_id
+                                ORDER BY list_dot_product(x.v, cent.cv) DESC, cent.centroid_id) AS crn
+      FROM x CROSS JOIN cent
+    ), inverted AS (
+      SELECT neighbor_id, v, centroid_id FROM assign WHERE crn = 1
+    ), probe AS (
+      SELECT q.query_id, q.v AS qv, cent.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY list_dot_product(q.v, cent.cv) DESC, cent.centroid_id) AS prn
+      FROM q CROSS JOIN cent
+    ), cand AS (
+      SELECT p.query_id, i.neighbor_id, list_dot_product(p.qv, i.v) AS sim
+      FROM (SELECT query_id, qv, centroid_id FROM probe WHERE prn <= 2) p
+      JOIN inverted i USING (centroid_id)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, rnk, neighbor_id, round(sim, 9) AS sim
+    FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-style (FAISS IndexIVFFlat analogue,
+    complementing the flat index of Faiss_2_10.py:70-79): deterministic
+    centroid codebook (index ids ≡ 1 mod 25) → inverted lists by
+    nearest centroid → each query probes its 2 nearest lists → exact
+    cosine re-rank within. Candidate product shrinks by
+    ~centroids/n_probe; recall tunes via (nlist, nprobe) exactly as in
+    IVF. See operators/knn.py:knn_join_ivf for the scale analysis."""
+    from ..operators.knn import knn_join_ivf
+
+    q, x = _split(spark, sf_dir)
+    res = knn_join_ivf(
+        x.select("neighbor_id", "embedding"),
+        q.select("query_id", "embedding"),
+        k=3,
+        centroid_mod=25,
+        n_probe=2,
+    )
+    return res.select(
+        "query_id", F.col("rank").alias("rnk"), "neighbor_id", F.round("sim", 9).alias("sim")
+    ).orderBy("query_id", "rnk")
