@@ -73,3 +73,63 @@ def test_windowed_counts_match_batch_twin(spark, sf_dir, tmp_path):
     )
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stateful_sessions_match_batch_twin(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: state must survive
+    micro-batch boundaries — events are split into two time-ordered
+    files (one micro-batch each), and the final running totals must
+    equal the batch twin's per-user aggregate."""
+    import os
+
+    from data_ingestion_task_spark.plans.events_plans import events_sessionization
+    from data_ingestion_task_spark.streaming.stateful import start_stateful_sessions
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_id")
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    inbox = tmp_path / "sess_inbox"
+    inbox.mkdir()
+    for i, half in enumerate(
+        [events.filter(F.col("event_id") <= median), events.filter(F.col("event_id") > median)]
+    ):
+        part = tmp_path / f"half{i}"
+        half.coalesce(1).write.parquet(str(part))
+        (f,) = list(part.glob("*.parquet"))
+        dst = inbox / f"batch{i}.parquet"
+        f.rename(dst)
+        # file-source processes oldest-mtime first: pin the order
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    # events are ts-ordered by construction (event_id is assigned in ts
+    # order), so per-user arrival order across the two batches is
+    # correct; verify at least one user spans both batches so the
+    # cross-batch state path is really exercised
+    spanning = (
+        events.groupBy("user_id")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .filter((F.col("lo") <= median) & (F.col("hi") > median))
+        .count()
+    )
+    assert spanning > 0
+
+    schema = spark.read.parquet(str(inbox / "batch0.parquet")).schema
+    q = start_stateful_sessions(
+        spark, str(inbox), str(tmp_path / "sess_ckpt"), schema, query_name="sess_state"
+    )
+    q.awaitTermination(180)
+
+    # latest emission per user (largest n_events) = final running totals
+    emitted = spark.table("sess_state")
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions")).alias("s"))
+        .select("user_id", F.col("s.n_sessions").alias("n_sessions"),
+                F.col("s.n_events").alias("n_events"))
+    )
+    twin = (
+        events_sessionization(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    assert final.count() == twin.count() > 0
+    assert final.exceptAll(twin).count() == 0 and twin.exceptAll(final).count() == 0
