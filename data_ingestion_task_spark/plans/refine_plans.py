@@ -451,3 +451,55 @@ def extraction_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", "ord"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prompt assembly (§2.9: rag_3_4.py:403-457, prompts:1-51)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prompt_assembly",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, trim(text) AS t, str_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ), trunc AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) <= 30 THEN t
+                  ELSE array_to_string(ws[1:15], ' ') || ' ' ||
+                       array_to_string(ws[len(ws)-14 : len(ws)], ' ') END AS body
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(length(p) AS BIGINT) AS prompt_chars,
+           md5(p) AS prompt_md5
+    FROM (
+      SELECT doc_id,
+             'You are a document classifier.' || chr(10) || 'Document:' || chr(10)
+             || body || chr(10)
+             || 'Question: What is the document type?' || chr(10) || 'Answer:' AS p
+      FROM trunc)
+    ORDER BY doc_id
+    """,
+)
+def prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-template assembly for the classification task
+    (rag_3_4.py:403-457; template corpus prompts:1-51): truncate the
+    document (the reference's manual compute-pruning stage) and splice
+    it into the fixed template — pure concat, narrow stage, feeding
+    the pluggable mapInPandas model stage (operators/extract.py). The
+    emitted row is (length, md5) so the result stays narrow at scale."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    p = F.concat(
+        F.lit("You are a document classifier.\nDocument:\n"),
+        T.truncate_words(F.col("text"), 15, 15),
+        F.lit("\nQuestion: What is the document type?\nAnswer:"),
+    )
+    return d.select(
+        "doc_id",
+        F.length(p).cast("bigint").alias("prompt_chars"),
+        F.md5(p).alias("prompt_md5"),
+    ).orderBy("doc_id")

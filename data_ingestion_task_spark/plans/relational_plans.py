@@ -453,3 +453,35 @@ def group_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("split")
     )
+
+
+@query(
+    "distinct_two_stage",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def distinct_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct-count: pre-distinct on (key, value)
+    spreads a hot key over hash(key, value) partitions, then the
+    per-key count is a tiny second agg — the salting pattern for
+    exact DISTINCT at scale (a single-shuffle countDistinct funnels
+    every distinct value of a hot key through one reducer; the
+    reference's skew is 82% one label, Neww_Fai.py:645-652). Two
+    measures share the first shuffle via grouping on both pairs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_suppkey"
+    )
+    parts = (
+        li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count("*").alias("n_parts"))
+    )
+    supps = (
+        li.select("l_returnflag", "l_suppkey").distinct()
+        .groupBy("l_returnflag").agg(F.count("*").alias("n_supps"))
+    )
+    return parts.join(supps, "l_returnflag").orderBy("l_returnflag")
