@@ -90,3 +90,88 @@ def extract_fields(
     )
     cols = [id_col, *passthrough, text_col]
     return df.select(*cols).mapInPandas(fn, schema=schema)
+
+
+def make_model_stage(
+    model_fn: Callable[[str], dict],
+    out_fields: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_concurrent: int = 8,
+    max_retries: int = 5,
+    base_delay_s: float = 0.01,
+) -> Callable[[Iterator["pd.DataFrame"]], Iterator["pd.DataFrame"]]:
+    """Model-calling extraction stage: the Spark replacement for the
+    reference's manual batch orchestration — asyncio.gather in batches
+    with exponential-backoff retry and an empty scaffold on permanent
+    failure (rag_2_26_1.py:22-49 retry classifier; neww_rag_.py:274-430
+    batch driver; privateb_4_8.py:35-46 all-None scaffold).
+
+    Per partition: a bounded thread pool (``max_concurrent``) replaces
+    the asyncio semaphore; each row retries up to ``max_retries`` with
+    delay ``base_delay_s · 2^attempt``. Cluster-wide concurrency is
+    therefore ``max_concurrent × executor cores / task cpus`` — size it
+    to the model service's rate limit. Emits ``n_attempts`` (1-based;
+    == max_retries with null fields ⇒ permanent failure) so the
+    error-rate run stats (ocr_agent_8_29.py:28-29) are one agg away.
+    """
+    import pandas as pd
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        def call(text: str) -> dict:
+            delay = base_delay_s
+            for attempt in range(1, max_retries + 1):
+                try:
+                    result = model_fn(text)
+                    return {**{f: result.get(f) for f in out_fields}, "n_attempts": attempt}
+                except Exception:
+                    if attempt == max_retries:
+                        # permanent failure → schema-guaranteed scaffold
+                        return {**{f: None for f in out_fields}, "n_attempts": attempt}
+                    time.sleep(delay)
+                    delay *= 2
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            for pdf in batches:
+                results = list(pool.map(call, pdf[text_col]))
+                out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+                for f in out_fields:
+                    out[f] = [r[f] for r in results]
+                out["n_attempts"] = [r["n_attempts"] for r in results]
+                yield out
+
+    return stage
+
+
+def extract_with_model(
+    df: DataFrame,
+    model_fn: Callable[[str], dict],
+    out_fields: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_concurrent: int = 8,
+    max_retries: int = 5,
+    base_delay_s: float = 0.01,
+) -> DataFrame:
+    """``df[id_col, text_col]`` → ``(id_col, *out_fields, n_attempts)``
+    via :func:`make_model_stage`. All ``out_fields`` are strings (the
+    reference's every-value-is-a-string rule, w2_prompt_v1_6_12:34)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{id_col} {by_name[id_col].dataType.simpleString()}"]
+        + [f"{c} string" for c in out_fields]
+        + ["n_attempts int"]
+    )
+    fn = make_model_stage(
+        model_fn,
+        out_fields,
+        id_col=id_col,
+        text_col=text_col,
+        max_concurrent=max_concurrent,
+        max_retries=max_retries,
+        base_delay_s=base_delay_s,
+    )
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
