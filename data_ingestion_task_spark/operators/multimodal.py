@@ -110,3 +110,120 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, content binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+AUDIO_FEATURES_SCHEMA = "doc_id long, n_windows int, rms array<float>"
+
+
+def _require(module: str, purpose: str, fake: bool) -> None:
+    if fake:
+        return
+    import importlib
+
+    try:  # pragma: no cover - environment-dependent
+        importlib.import_module(module)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"real {purpose} requires {module} (not available in this "
+            "environment); use fake=True for the deterministic test path"
+        ) from e
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 8, target_h: int = 8, fake: bool = False
+) -> DataFrame:
+    """Resize image blobs to (target_w, target_h). Fake path: strided
+    byte subsample to exactly ``target_w*target_h`` bytes (pad with 0)
+    — deterministic, preserves the 1-row→1-row contract and the
+    binary-out schema a real PIL resize would produce."""
+    _require("PIL", "image resize", fake)
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if a.size == 0:
+                    out = np.zeros(n_out, dtype=np.uint8)
+                else:
+                    idx = (np.arange(n_out) * a.size) // n_out
+                    out = a[idx]
+                rows.append((doc_id, target_w, target_h, out.tobytes()))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "content"])
+
+    return df.select("doc_id", "content").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_n: int = 4,
+    max_frames: int = 8,
+    fps: int = 24,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling: one blob row → ≤max_frames frame rows (the
+    UDTF-shaped stage a video pipeline needs). Fake path: treat the
+    blob as fixed-size frames and keep every ``every_n``-th; timestamps
+    derive from the frame index at ``fps``. Real path would wrap
+    pyav/ffmpeg with the same output schema."""
+    _require("av", "video frame sampling", fake)
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                n_frames = max(len(b) // frame_bytes, 0)
+                kept = range(0, n_frames, every_n)
+                for out_idx, i in enumerate(kept):
+                    if out_idx >= max_frames:
+                        break
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            (i * 1000) // fps,
+                            b[i * frame_bytes : (i + 1) * frame_bytes],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "ts_ms", "frame"])
+
+    return df.select("doc_id", "content").mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame, window: int = 64, fake: bool = False
+) -> DataFrame:
+    """Windowed RMS over audio blobs (fake path: bytes as u8 samples)
+    — the feature-extraction stage shape for audio; real path would
+    decode via soundfile/librosa into the same (n_windows, rms[])."""
+    _require("soundfile", "audio decode", fake)
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                a = np.frombuffer(bytes(blob), dtype=np.uint8).astype("float64")
+                if a.size == 0:
+                    rows.append((doc_id, 0, []))
+                    continue
+                n_win = (a.size + window - 1) // window
+                pad = np.zeros(n_win * window)
+                pad[: a.size] = a
+                rms = np.sqrt((pad.reshape(n_win, window) ** 2).mean(axis=1))
+                rows.append((doc_id, n_win, list(rms.astype("float32"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_windows", "rms"])
+
+    return df.select("doc_id", "content").mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)

@@ -88,3 +88,68 @@ def test_real_image_decode_gated(spark, sf_dir):
     except ImportError:
         with pytest.raises(NotImplementedError):
             decode_image_features(d, fake=False)
+
+
+def test_resize_images_deterministic_shape(spark, sf_dir):
+    from data_ingestion_task_spark.operators.multimodal import attach_blob, resize_images
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    blobs = attach_blob(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize_images(blobs, target_w=4, target_h=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 4 and r.height == 4 and len(r.content) == 16 for r in rows)
+    again = {r.doc_id: bytes(r.content) for r in resize_images(blobs, 4, 4, fake=True).collect()}
+    assert all(bytes(r.content) == again[r.doc_id] for r in rows)  # deterministic
+
+
+def test_video_frame_sampling_multiplicity(spark, sf_dir):
+    from data_ingestion_task_spark.operators.multimodal import attach_blob, sample_video_frames
+    from data_ingestion_task_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    blobs = attach_blob(load_table(spark, sf_dir, "documents").limit(10))
+    out = sample_video_frames(blobs, frame_bytes=16, every_n=4, max_frames=5, fake=True)
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    src = {r.doc_id: len(bytes(r.content)) for r in blobs.select("doc_id", "content").collect()}
+    for doc_id, nbytes in src.items():
+        expect = min((nbytes // 16 + 3) // 4, 5)
+        assert per_doc.get(doc_id, 0) == expect
+    frames = out.collect()
+    assert all(r.frame_idx % 4 == 0 and r.ts_ms == (r.frame_idx * 1000) // 24 for r in frames)
+    assert all(len(bytes(r.frame)) == 16 for r in frames)
+
+
+def test_audio_rms_windows(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_task_spark.operators.multimodal import attach_blob, extract_audio_features
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    blobs = attach_blob(load_table(spark, sf_dir, "documents").limit(5))
+    out = {r.doc_id: r for r in extract_audio_features(blobs, window=64, fake=True).collect()}
+    for r in blobs.select("doc_id", "content").collect():
+        a = np.frombuffer(bytes(r.content), dtype=np.uint8).astype("float64")
+        got = out[r.doc_id]
+        assert got.n_windows == (a.size + 63) // 64
+        pad = np.zeros(got.n_windows * 64)
+        pad[: a.size] = a
+        expect = np.sqrt((pad.reshape(-1, 64) ** 2).mean(axis=1)).astype("float32")
+        assert np.allclose(got.rms, expect)
+
+
+def test_real_codec_paths_gated(spark, sf_dir):
+    import pytest
+
+    from data_ingestion_task_spark.operators.multimodal import (
+        attach_blob,
+        extract_audio_features,
+        resize_images,
+        sample_video_frames,
+    )
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    blobs = attach_blob(load_table(spark, sf_dir, "documents").limit(1))
+    for fn in (resize_images, sample_video_frames, extract_audio_features):
+        with pytest.raises(NotImplementedError):
+            fn(blobs, fake=False)
