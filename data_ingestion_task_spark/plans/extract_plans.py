@@ -322,3 +322,81 @@ def transactions_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("amount"),
     ).orderBy("doc_id", "txn_idx")
+
+
+@query(
+    "feedback_error_clusters",
+    oracle="""
+    WITH j AS (SELECT o_orderkey % 6 AS mv FROM orders),
+    c AS (
+      SELECT CASE WHEN mv = 3 THEN 'both_null'
+                  WHEN mv IN (1, 2, 5) THEN 'sign_format'
+                  WHEN mv = 0 THEN 'punct_format'
+                  ELSE 'exact' END AS error_class
+      FROM j
+    )
+    SELECT error_class,
+           COUNT(*) AS n_docs,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM j), 6) AS share,
+           CASE error_class
+             WHEN 'sign_format' THEN 'normalize parens/trailing-minus/CR to leading minus'
+             WHEN 'punct_format' THEN 'apply $/comma display formatting'
+             WHEN 'both_null' THEN 'expected NULL - no fix'
+             WHEN 'missing' THEN 'extend extraction patterns'
+             WHEN 'false_positive' THEN 'tighten extraction patterns'
+             WHEN 'value_mismatch' THEN 'escalate to manual review'
+             ELSE 'none' END AS suggestion
+    FROM c GROUP BY error_class ORDER BY error_class
+    """,
+)
+def feedback_error_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback-agent loop (feebback agent_8_29.py:30-66: capture →
+    compare → cluster → suggest) over the RAW extraction output,
+    before normalization: each pred/GT money pair is classified into
+    the reference's known-error taxonomy (discussion_8_5.py:1-53 —
+    paren/sign notation, missing $/commas, expected-NULL) and each
+    cluster carries the suggested normalizer fix. The oracle derives
+    the same clusters independently from the doc-variant residues, so
+    this checks the WHOLE chain render → extract → compare →
+    classify. Narrow until one low-cardinality hash-agg."""
+    docs = _docs_with_gt(spark, sf_dir)
+    scored = extract_fields(docs, STATEMENT_PATTERNS, passthrough=("gt_money",))
+    raw, gt = F.col("raw_money"), F.col("gt_money")
+    digits = lambda c: F.regexp_replace(c, r"[^0-9.]", "")  # noqa: E731
+    raw_null = N.money_or_null(raw).isNull()
+    sign_marked = raw.rlike(r"\(") | raw.rlike(r"-\s*$") | raw.rlike(r"CR\s*$")
+    cls = (
+        F.when(raw_null & gt.isNull(), "both_null")
+        .when(gt.isNull(), "false_positive")
+        .when(raw_null, "missing")
+        .when(raw == gt, "exact")
+        .when((digits(raw) == digits(gt)) & sign_marked, "sign_format")
+        .when(digits(raw) == digits(gt), "punct_format")
+        .otherwise("value_mismatch")
+    )
+    suggestion = (
+        F.when(F.col("error_class") == "sign_format",
+               "normalize parens/trailing-minus/CR to leading minus")
+        .when(F.col("error_class") == "punct_format", "apply $/comma display formatting")
+        .when(F.col("error_class") == "both_null", "expected NULL - no fix")
+        .when(F.col("error_class") == "missing", "extend extraction patterns")
+        .when(F.col("error_class") == "false_positive", "tighten extraction patterns")
+        .when(F.col("error_class") == "value_mismatch", "escalate to manual review")
+        .otherwise("none")
+    )
+    from pyspark.sql.window import Window
+
+    classified = scored.select(cls.alias("error_class"))
+    counted = classified.groupBy("error_class").agg(F.count("*").alias("n_docs"))
+    # share denominator via a window over the (≤7-row) agg output —
+    # a driver-side count() would re-run the whole render+extract tree
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        counted.select(
+            "error_class",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / total, 6).alias("share"),
+        )
+        .withColumn("suggestion", suggestion)
+        .orderBy("error_class")
+    )
