@@ -117,6 +117,11 @@ def make_model_stage(
     """
     import pandas as pd
 
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+    if max_concurrent < 1:
+        raise ValueError(f"max_concurrent must be >= 1, got {max_concurrent}")
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
         from concurrent.futures import ThreadPoolExecutor

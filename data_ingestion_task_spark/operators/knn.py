@@ -84,6 +84,17 @@ def candidate_pairs_vectorized(
     :func:`knn_join_lsh`.
     """
     import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # Contract: ids ride through numpy as int64 and the output schema is
+    # `long, long` — non-integral id columns would be silently corrupted.
+    for df_, col_ in ((index_df, index_id), (query_df, query_id)):
+        dt = df_.schema[col_].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"candidate_pairs_vectorized requires integral id columns; "
+                f"{col_} is {dt.simpleString()} — hash or index string ids first"
+            )
 
     rows = index_df.select(index_id, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -190,7 +190,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache builds dominate otherwise), Jaccard verification compares
     longs not strings, and both engines hash identically so parity is
     unaffected. The hashed-shingle array is computed once, persisted,
-    and reused by signatures, band keys, and verification."""
+    and reused by signatures, band keys, and verification.
+
+    Caching contract: the returned (lazy) DataFrame references two
+    persisted intermediates, exposed as ``result._cached_deps`` —
+    library callers that keep the session alive after collecting should
+    ``unpersist()`` them (the bench harness clears all caches per
+    query, so this only matters for long-lived embedding sessions)."""
     c = _corpus(spark, sf_dir)
     # repartition BEFORE the md5-heavy shingle map: the 3-way union
     # otherwise yields one partition per branch, serializing the
@@ -236,12 +242,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    result = (
         joined.select("doc_a", "doc_b", jac.alias("j"))
         .filter(F.col("j") >= 0.5)
         .select("doc_a", "doc_b", F.round("j", 9).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+    result._cached_deps = [shl, sigs]  # see docstring caching contract
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -136,9 +136,9 @@ _D_EXTRACTION_LONG = f"""
     oracle=_D_EXTRACTION_LONG
     + """
     SELECT COALESCE(field, 'Overall') AS field,
-           SUM(CASE WHEN ground_truth IS NOT NULL AND predicted_value IS NOT NULL
-                         AND trim(ground_truth) = trim(predicted_value)
-                    THEN 1 ELSE 0 END) AS correct,
+           CAST(SUM(CASE WHEN ground_truth IS NOT NULL AND predicted_value IS NOT NULL
+                              AND trim(ground_truth) = trim(predicted_value)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS correct,
            COUNT(*) AS support,
            round(CAST(SUM(CASE WHEN ground_truth IS NOT NULL AND predicted_value IS NOT NULL
                                     AND trim(ground_truth) = trim(predicted_value)
@@ -181,7 +181,7 @@ def field_accuracy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH clf AS ({_d_classified()})
     SELECT true_label,
-           {", ".join(f"SUM(CASE WHEN pred_label = '{p}' THEN 1 ELSE 0 END) AS pred_{p}" for p in LANG_RING)}
+           {", ".join(f"CAST(SUM(CASE WHEN pred_label = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS pred_{p}" for p in LANG_RING)}
     FROM clf GROUP BY true_label ORDER BY true_label
     """,
 )
@@ -368,27 +368,35 @@ def ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = scored.withColumn(
         "bin", F.least(F.floor(F.col("confidence") * 10).cast("int"), F.lit(9))
     )
-    n_total = binned.count()
-    wb = Window.partitionBy("bin")
-    gap_w = (
-        F.abs(F.avg("confidence").over(wb) - F.avg(F.col("correct").cast("double")).over(wb))
-        / F.lit(n_total)
+    # Single pass: partial-agg to 10 bin rows first (one shuffle over the
+    # data), THEN take the grand total via a window over those 10 rows —
+    # no driver-side count() rerunning the scenario subtree.
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("confidence").alias("sum_conf"),
+        F.sum(F.col("correct").cast("double")).alias("sum_correct"),
+    )
+    w_all = Window.partitionBy()  # 10 rows — single-partition window is free here
+    contrib_raw = (
+        F.abs(F.col("sum_conf") / F.col("n") - F.col("sum_correct") / F.col("n"))
+        * F.col("n")
+        / F.sum("n").over(w_all)
     )
     return (
-        binned.withColumn("abs_gap_w", gap_w)
+        per_bin.withColumn("contrib_raw", contrib_raw)
         .rollup("bin")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("confidence").cast("double") / F.count("*"), 6).alias("avg_conf"),
-            F.round(F.sum("correct").cast("double") / F.count("*"), 6).alias("avg_acc"),
-            F.round(F.sum("abs_gap_w"), 6).alias("ece_contrib"),
+            F.sum("n").alias("n"),
+            F.sum("sum_conf").alias("sc"),
+            F.sum("sum_correct").alias("scor"),
+            F.sum("contrib_raw").alias("cr"),
         )
         .select(
             F.coalesce(F.col("bin").cast("string"), F.lit("ECE")).alias("bin"),
             "n",
-            "avg_conf",
-            "avg_acc",
-            "ece_contrib",
+            F.round(F.col("sc") / F.col("n"), 6).alias("avg_conf"),
+            F.round(F.col("scor") / F.col("n"), 6).alias("avg_acc"),
+            F.round("cr", 6).alias("ece_contrib"),
         )
         .orderBy("bin")
     )
@@ -457,7 +465,7 @@ def classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pages GROUP BY fn
     )
     SELECT COUNT(*) AS n_docs,
-           SUM(doc_correct) AS n_all_correct,
+           CAST(SUM(doc_correct) AS BIGINT) AS n_all_correct,
            round(CAST(SUM(doc_correct) AS DOUBLE) / COUNT(*), 6) AS doc_accuracy,
            round(CAST(SUM(n_pages) AS DOUBLE) / COUNT(*), 6) AS avg_pages
     FROM docs

@@ -100,8 +100,8 @@ SESSION_GAP_S = 1800  # 30 min
     ),
     sessions AS (
       SELECT user_id, event_id, ts_s,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -197,7 +197,7 @@ def events_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
            MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
@@ -244,8 +244,8 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, regexp_extract(raw, '\\{{.*\\}}', 0) AS body FROM mangled
     )
     SELECT COUNT(*) AS n,
-           SUM(CASE WHEN body IS NOT NULL AND body <> '' THEN 1 ELSE 0 END) AS n_parsed,
-           SUM(CAST(body::JSON ->> 'k' AS BIGINT)) AS sum_k
+           CAST(SUM(CASE WHEN body IS NOT NULL AND body <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(body::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM repaired
     """,
 )
@@ -284,7 +284,7 @@ def json_repair_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n,
            COUNT(*) AS n_repaired,
-           SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     """,
 )

@@ -120,7 +120,7 @@ def _docs_with_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'vendor_name', CASE WHEN o_custkey % 4 <> 3 THEN 1 ELSE 0 END FROM j
     )
     SELECT COALESCE(field, 'Overall') AS field,
-           SUM(ok) AS n_correct,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
            COUNT(*) AS support,
            round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
     FROM long GROUP BY ROLLUP(field) ORDER BY field

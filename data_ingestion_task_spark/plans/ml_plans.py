@@ -51,7 +51,7 @@ _DIM = 64
     )
     SELECT true_label AS label,
            COUNT(*) AS n_test,
-           SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            round(CAST(SUM(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
     FROM top WHERE rn = 1
     GROUP BY true_label ORDER BY label

@@ -21,7 +21,7 @@ from .registry import query
     oracle="""
     SELECT source,
            COUNT(*) AS n_blobs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS n_unique,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents GROUP BY source ORDER BY source

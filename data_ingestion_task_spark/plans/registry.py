@@ -18,13 +18,47 @@ order-insensitive value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Session confs every registered query requires AT EXECUTION TIME.
+#: Because DataFrames are lazy, the @query wrapper pins these for the
+#: session and deliberately does NOT restore them afterwards — restoring
+#: before the caller collects would silently change cast/timezone
+#: semantics mid-plan. Library callers embedding queries in a session
+#: with different settings should collect inside ``pinned_conf(spark)``
+#: to get save/restore isolation.
+PINNED_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+@contextlib.contextmanager
+def pinned_conf(spark: SparkSession) -> Iterator[None]:
+    """Pin :data:`PINNED_CONF` for the duration of the block, then
+    restore the caller's previous values (including unset)."""
+    prev: dict[str, str | None] = {}
+    for k, v in PINNED_CONF.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 @dataclass
@@ -46,9 +80,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Deterministic semantics regardless of the caller's
             # session defaults: UTC timestamps; non-ANSI (try_* style)
-            # null-on-error casts like the oracle's.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            spark.conf.set("spark.sql.ansi.enabled", "false")
+            # null-on-error casts like the oracle's. Left pinned after
+            # return — see PINNED_CONF for why, and pinned_conf() for
+            # callers needing isolation.
+            for k, v in PINNED_CONF.items():
+                spark.conf.set(k, v)
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")

@@ -119,7 +119,7 @@ def grouped_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(n_chars) AS cnt,
            CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(n_chars) AS DOUBLE) AS mean_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source ORDER BY source
     """,
 )
@@ -366,9 +366,9 @@ def page_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_counts",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )

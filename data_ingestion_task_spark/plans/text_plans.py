@@ -78,8 +78,8 @@ _D_QUALITY = """
     )
     SELECT lang_pred, source,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_words AS BIGINT)) AS total_words,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
            CAST(CAST(SUM(q) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_quality
     FROM scored
     WHERE n_words >= 5

@@ -78,7 +78,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT query_label,
            COUNT(*) AS n_queries,
-           SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            CAST(CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS accuracy
     FROM r WHERE rnk = 1

@@ -2,7 +2,7 @@
 Agent design (code/python/ocr_agent_8_29.py:18-33,51-56) — watched
 inbox, auto-detect new documents, consolidate to a standard schema,
 parquet sink, per-run summary stats — expressed as a file-source
-``readStream`` with checkpointed exactly-once sinks.
+``readStream`` with checkpointed idempotent sinks.
 
 Design:
 - The TRANSFORMATION is shared with batch (``ingest_transform``): the
@@ -10,9 +10,11 @@ Design:
   ``spark.readStream`` unchanged, so every streaming pipeline has an
   oracle-checkable batch twin (plans/text_plans.py, events_plans.py).
 - Checkpointing replaces the reference's interim-CSV saves
-  (rag_2_26_1.py:141-151): offsets + sink metadata give exactly-once
-  ingest across restarts; re-running with the same checkpoint ingests
-  only new files.
+  (rag_2_26_1.py:141-151): source offsets give at-least-once replay
+  across restarts; the document sink upgrades that to exactly-once
+  contents by writing each micro-batch to an idempotent
+  ``batch_id``-keyed path (see ``start_document_ingest``). Re-running
+  with the same checkpoint ingests only new files.
 - ``foreachBatch`` computes the run-summary stats the OCR agent logs
   (docs, pages, words — ocr_agent_8_29.py:28-29) without a second
   pass: the batch is already materialized for the sink.
@@ -70,14 +72,21 @@ def start_document_ingest(
     schema: StructType,
     on_batch_summary: Callable[[dict], None] | None = None,
 ) -> StreamingQuery:
-    """inbox → consolidate → parquet sink, exactly-once via checkpoint.
-    ``availableNow`` drains the current backlog and stops — the batch-
-    style run mode; drop it for continuous tailing."""
+    """inbox → consolidate → parquet sink. ``availableNow`` drains the
+    current backlog and stops — the batch-style run mode; drop it for
+    continuous tailing.
+
+    Delivery: the checkpoint gives at-least-once micro-batch replay; the
+    sink makes it exactly-once CONTENTS by writing each micro-batch to a
+    ``batch_id=N`` keyed path with overwrite — a replayed batch (driver
+    died between write and checkpoint commit) rewrites the same path
+    instead of appending duplicates. Readers see ``batch_id`` as a
+    partition provenance column; drop it if unwanted."""
     stream = ingest_transform(document_stream(spark, inbox, schema))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         if on_batch_summary is not None:
             row = batch_df.agg(
                 F.count("*").alias("docs"),

@@ -32,7 +32,7 @@ def test_document_ingest_exactly_once(spark, sf_dir, tmp_path):
 
     batch = ingest_transform(load_table(spark, sf_dir, "documents"))
     n1 = batch.count()
-    got = spark.read.parquet(str(out))
+    got = spark.read.parquet(str(out)).drop("batch_id")  # idempotent-sink provenance col
     assert got.count() == n1
     # streamed rows are exactly the batch-transform rows
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0

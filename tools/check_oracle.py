@@ -32,9 +32,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    import numpy as np
+
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    # Driver parity: the gate hashes raw values, so int64 123 vs float64
+    # 123.0 is a MISMATCH (the round-1 HUGEINT->float64 trap). Flag it.
+    a_float = isinstance(a, (float, np.floating))
+    b_float = isinstance(b, (float, np.floating))
+    a_int = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_int = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if (a_float and b_int) or (a_int and b_float):
+        return False
+    if a_float and b_float:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
