@@ -1,0 +1,215 @@
+"""Pluggable text-encoder stage (SURVEY §2.6 "Embed text", §7 step 6)
+and the gated real-tokenizer token count (§2.2 ``num_tokens``).
+
+Reference behavior: every pipeline starts from raw text and calls
+``SentenceTransformer.encode`` in batches of 32
+(`code/python/Faiss_2_10.py:49-56`,
+`code/python/faiss_implimentation.py:269-274`); token counts come from
+a HF tokenizer (`code/python/wordschrstokens.py:12-22`).
+
+Spark-first re-expression: the encoder is an Arrow-batched
+``pandas_udf`` column — one batch through Python per chunk batch, BLAS/
+numpy inside, exactly the reference's batch-32 pattern but sized by
+Arrow (``spark.sql.execution.arrow.maxRecordsPerBatch``). The stage is
+MODEL-SWAPPABLE: any ``Column``-producing encoder drops in. The default
+is a deterministic feature-hashing encoder whose arithmetic (±1 counts
+per bucket, md5-derived) is reproducible bit-for-bit in any engine —
+so the full text→chunk→encode→kNN→vote pipeline is oracle-checkable
+with no model present (plans/encode_plans.py).
+
+Scale notes (100 TB): encoding is a narrow map stage — no shuffle; the
+UDF is stateless so Spark can fuse it with the chunker project. Real
+encoders hold the model in a per-executor-process global (lazy init
+below), so cost is amortized across all tasks of an executor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+# ---------------------------------------------------------------------------
+# Deterministic feature-hashing encoder (the oracle-checkable default)
+# ---------------------------------------------------------------------------
+
+_TOKEN_STRIP = re.compile(r"[^a-z0-9\s]")
+
+
+def _hash_tokens(text: str) -> list[str]:
+    """lower → strip non-[a-z0-9 whitespace] → whitespace split.
+    Identical to the DuckDB twin's regexp_replace + split chain."""
+    return _TOKEN_STRIP.sub("", text.lower()).split()
+
+
+def hashing_embed(text: str, dim: int, salt: str) -> list[float]:
+    """One document's feature-hashed embedding (driver-side twin used
+    by tests): bucket = md5-hash(token) % dim, sign = parity of
+    (hash // dim). Values are small-integer ±1 sums → EXACT in float64
+    regardless of accumulation order, which is what makes the encoder
+    reproducible across Spark / numpy / DuckDB."""
+    v = [0.0] * dim
+    for w in _hash_tokens(text or ""):
+        h = int(hashlib.md5(f"{salt}:{w}".encode()).hexdigest()[:15], 16)
+        v[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+    return v
+
+
+def hashing_encoder_udf(dim: int = 16, salt: str = "enc"):
+    """Arrow-batched ``pandas_udf``: text → ``array<double>``
+    feature-hashed embedding. The deterministic default encoder —
+    swap in :func:`sentence_transformer_encoder_udf` for production."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hashing_embed(t, dim, salt))
+
+    return encode
+
+
+def duckdb_hashing_encoder_sql(
+    src: str, id_col: str, text_col: str, dim: int = 16, salt: str = "enc"
+) -> str:
+    """DuckDB CTE chain reproducing :func:`hashing_encoder_udf` over
+    ``src(id_col, text_col)`` → ``enc_vecs(id_col, v DOUBLE[])``.
+    Sparse bucket sums (exact ±1 integer arithmetic) densified against
+    range(dim) so zero buckets materialize."""
+    return f"""
+    enc_tok AS (
+      SELECT {id_col},
+             unnest(list_filter(
+               str_split(regexp_replace(regexp_replace(lower({text_col}),
+                                                       '[^a-z0-9\\s]', '', 'g'),
+                                        '\\s+', ' ', 'g'), ' '),
+               t -> t <> '')) AS t
+      FROM {src}
+    ),
+    enc_hash AS (
+      SELECT {id_col}, ('0x' || substr(md5('{salt}:' || t), 1, 15))::BIGINT AS h
+      FROM enc_tok
+    ),
+    enc_acc AS (
+      SELECT {id_col}, h % {dim} AS b,
+             CAST(SUM(CASE WHEN (h // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS x
+      FROM enc_hash GROUP BY 1, 2
+    ),
+    enc_dense AS (
+      SELECT ids.{id_col}, r.b, COALESCE(a.x, 0.0) AS x
+      FROM (SELECT DISTINCT {id_col} FROM {src}) ids
+      CROSS JOIN range({dim}) r(b)
+      LEFT JOIN enc_acc a ON a.{id_col} = ids.{id_col} AND a.b = r.b
+    ),
+    enc_vecs AS (
+      SELECT {id_col}, list(x ORDER BY b) AS v FROM enc_dense GROUP BY {id_col}
+    )"""
+
+
+def encode_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    encoder: Callable[[Column], Column] | None = None,
+    dim: int = 16,
+) -> DataFrame:
+    """The encoder STAGE: apply any encoder column function; default is
+    the deterministic hashing encoder. This is the pluggability seam —
+    ``encode_text(df, encoder=sentence_transformer_encoder_udf(...))``
+    is the production form of the same pipeline."""
+    enc = encoder or hashing_encoder_udf(dim)
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Gated real encoder (sentence-transformers), lazy per-executor init
+# ---------------------------------------------------------------------------
+
+_ST_MODEL_CACHE: dict[str, object] = {}
+
+
+def sentence_transformer_encoder_udf(model_name: str = "all-MiniLM-L6-v2", batch_size: int = 32):
+    """Production encoder (`Faiss_2_10.py:49-56` SentenceTransformer,
+    batch 32 `faiss_implimentation.py:269-274`) as an Arrow-batched
+    ``pandas_udf``. GATED: raises ImportError at construction when
+    sentence-transformers is absent (it is not in this container);
+    the model loads lazily once per executor process."""
+    import importlib
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers not installed; use hashing_encoder_udf "
+            "(deterministic default) or install the model package"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        from sentence_transformers import SentenceTransformer
+
+        model = _ST_MODEL_CACHE.get(model_name)
+        if model is None:
+            model = _ST_MODEL_CACHE[model_name] = SentenceTransformer(model_name)
+        mat = model.encode(list(texts.fillna("")), batch_size=batch_size)
+        return pd.Series([row.tolist() for row in mat])
+
+    return encode
+
+
+# ---------------------------------------------------------------------------
+# Token counting: gated HF tokenizer with BPE-ish JVM fallback
+# ---------------------------------------------------------------------------
+
+_TOKENIZER_CACHE: dict[str, object] = {}
+
+
+def token_count_udf(
+    tokenize_fn: Callable[[str], list] | None = None,
+    model_name: str = "gpt2",
+):
+    """Real-tokenizer token count (`wordschrstokens.py:12-22`) as an
+    Arrow-batched ``pandas_udf``. ``tokenize_fn`` makes the stage
+    pluggable/testable (tests inject a deterministic fake); the default
+    resolves a HF AutoTokenizer lazily per executor and raises
+    ImportError at construction when transformers is absent."""
+    import importlib
+
+    if tokenize_fn is None and importlib.util.find_spec("transformers") is None:
+        raise ImportError(
+            "transformers not installed; pass tokenize_fn= or use "
+            "functions.text.token_count_bpe_ish (JVM fallback)"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IntegerType())
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        fn = tokenize_fn
+        if fn is None:
+            tok = _TOKENIZER_CACHE.get(model_name)
+            if tok is None:
+                from transformers import AutoTokenizer
+
+                tok = _TOKENIZER_CACHE[model_name] = AutoTokenizer.from_pretrained(model_name)
+            fn = tok.tokenize
+        return texts.map(lambda t: len(fn(t or "")))
+
+    return count_tokens
+
+
+def num_tokens(text: Column, prefer_real: bool = False, model_name: str = "gpt2") -> Column:
+    """``num_tokens`` column: the gated HF tokenizer when requested AND
+    available, else the JVM-side BPE-ish regex estimate
+    (functions.text.token_count_bpe_ish) — the oracle-checkable path."""
+    from ..functions.text import token_count_bpe_ish
+
+    if prefer_real:
+        try:
+            return token_count_udf(model_name=model_name)(text).cast("bigint")
+        except ImportError:
+            pass
+    return token_count_bpe_ish(text)
