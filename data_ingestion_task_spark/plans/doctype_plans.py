@@ -1,0 +1,378 @@
+"""Per-doc-type extraction pipelines (SURVEY §2.9 extraction schemas):
+the W2 24-field end-to-end run, the invoice 9-field scaffold parse,
+and the credit-card 8-field parse with its transactions array —
+each driven by the fixed StructTypes in operators/schemas.py.
+
+Documents are SYNTHESIZED deterministically from customer/orders (the
+variant-residue technique of extract_plans.py), so the DuckDB oracle
+derives expected outcomes from the residues independently instead of
+re-running the extractor.
+
+Scale notes (100 TB): every pipeline here is render → one
+Arrow-batched extraction/parse stage → column-expression normalize →
+one low-cardinality rollup shuffle. The transactions explode is a
+narrow stage (array per doc → rows); its per-doc rollup shuffles on
+doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import normalize as N
+from ..operators.extract import extract_fields
+from ..operators.schemas import (
+    CREDIT_CARD_FIELDS,
+    INVOICE_FIELDS,
+    W2_FIELDS,
+    line_patterns,
+    parse_model_json,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# W2 end-to-end: render 24 fields -> extract -> normalize -> accuracy
+# ---------------------------------------------------------------------------
+
+_BOX12_CODES = ["A", "C", "D", "DD", "EE", "W", "AA", "ZZ"]  # idx 7 = invalid
+_MONEY_BOXES = [
+    "BOX1_WAGES", "BOX2_FED_WITHHOLD", "BOX3_SS_WAGE", "BOX4_SS_WITHHOLDING",
+    "BOX5_MEDICARE_WAGES", "BOX6_MEDICARE_WITHHOLDING",
+    "BOX7_ALLOCATED_TIPS", "BOX8_ALLOCATED_TIPS",
+]
+_B12 = ["BOX12A", "BOX12B", "BOX12C", "BOX12D"]
+
+
+def _money_raw_gt(v: Column, mv: Column) -> tuple[Column, Column]:
+    """The §2.7 money-variant machinery (extract_plans._docs_with_gt):
+    residue 3 renders unextractable 'N/A' (GT stays the clean value →
+    counted wrong); parens / trailing-minus / CR render negatives."""
+    plain = v.cast("string")
+    raw = (
+        F.when(mv == 0, plain)
+        .when(mv == 1, F.concat(F.lit("($"), plain, F.lit(")")))
+        .when(mv == 2, F.concat(plain, F.lit("-")))
+        .when(mv == 3, F.lit("N/A"))
+        .when(mv == 4, F.concat(F.lit("$"), F.format_number(v, 2)))
+        .otherwise(F.concat(plain, F.lit(" CR")))
+    )
+    gt = F.when(mv.isin(1, 2, 5), N.format_money(-v)).otherwise(N.format_money(v))
+    return raw, gt
+
+
+def _w2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → one synthetic W2 per row: every one of the 24 fields
+    rendered as an anchored 'FIELD: value' OCR line, with hash-residue
+    corruption variants per field class (malformed SSN/EIN, N/A money,
+    off-whitelist Box-12 code, corrupt year)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    d4 = F.lpad((k % 10000).cast("string"), 4, "0")
+
+    ssn_good = F.concat(F.lit("123-45-"), d4)
+    ssn = F.when(k % 5 == 0, F.concat(F.lit("12345"), d4)).otherwise(ssn_good)
+    ein_good = F.concat(F.lit("12-34567"), F.lpad((k % 100).cast("string"), 2, "0"))
+    ein = F.when(k % 7 == 0, F.regexp_replace(ein_good, "-", "")).otherwise(ein_good)
+
+    year_gt = (F.lit(2015) + (k % 9)).cast("string")
+    yv = k % 11
+    year_raw = (
+        F.when(yv == 0, F.lit("TY-unknown"))
+        # multi-year: earliest must win (w2_prompt_v1_6_12 'earliest year')
+        .when(yv == 1, F.concat(year_gt, F.lit(" "), (F.lit(2016) + (k % 9)).cast("string")))
+        .otherwise(year_gt)
+    )
+
+    addr = F.concat((k % 999 + 1).cast("string"), F.lit(" Oak Avenue, "), F.col("c_mktsegment"))
+    cols = {
+        "EMPLOYEE_NAME": (F.col("c_name"), F.col("c_name")),
+        "EMPLOYEE_ADDRESS": (addr, addr),
+        "EMPLOYEE_SSN": (ssn, ssn_good),
+        "EMPLOYER_NAME": (F.lit("Initech LLC"), F.lit("Initech LLC")),
+        "EMPLOYER_ADDRESS": (F.lit("100 Main Street, Springfield"),) * 2,
+        "EMPLOYER_FEDERAL_EIN": (ein, ein_good),
+        "BOX14_OTHER": (F.lit("PARKING 120.00"), F.lit("PARKING 120.00")),
+        "W2_YEAR": (year_raw, year_gt),
+    }
+    for i, box in enumerate(_MONEY_BOXES):
+        v = ((k % 9000) + i * 13 + 100).cast("decimal(18,2)")
+        raw, gt = _money_raw_gt(v, (k + i) % 6)
+        cols[f"{box}"] = (raw, gt)
+    for i, b in enumerate(_B12):
+        code = F.element_at(
+            F.array(*[F.lit(x) for x in _BOX12_CODES]), ((k + i) % 8 + 1).cast("int")
+        )
+        cols[f"{b}_CODE"] = (code, code)
+        v = ((k % 500) + i * 7 + 50).cast("decimal(18,2)")
+        raw, gt = _money_raw_gt(v, (k + 10 + i) % 6)
+        cols[f"{b}_AMOUNT"] = (raw, gt)
+
+    text = F.concat_ws(
+        "\n",
+        F.lit("FORM W-2 Wage and Tax Statement"),
+        *[F.concat(F.lit(f"{f}: "), cols[f][0]) for f in W2_FIELDS],
+    )
+    return c.select(
+        k.alias("doc_id"),
+        text.alias("text"),
+        *[cols[f][1].alias(f"gt_{f}") for f in W2_FIELDS],
+    )
+
+
+def _w2_normalized(extracted: DataFrame) -> dict[str, Column]:
+    """Field-class normalizers applied to the extracted raw strings:
+    trim for names/addresses, format-sanity regexes for SSN/EIN,
+    money_or_null for amounts, Box-12 whitelist (new_prompt_7_2:73),
+    earliest-year rule for W2_YEAR."""
+    out: dict[str, Column] = {}
+    for f in ["EMPLOYEE_NAME", "EMPLOYEE_ADDRESS", "EMPLOYER_NAME",
+              "EMPLOYER_ADDRESS", "BOX14_OTHER"]:
+        out[f] = F.trim(F.col(f))
+    out["EMPLOYEE_SSN"] = F.nullif(
+        F.regexp_extract(F.col("EMPLOYEE_SSN"), r"^(\d{3}-\d{2}-\d{4})$", 1), F.lit("")
+    )
+    out["EMPLOYER_FEDERAL_EIN"] = F.nullif(
+        F.regexp_extract(F.col("EMPLOYER_FEDERAL_EIN"), r"^(\d{2}-\d{7})$", 1), F.lit("")
+    )
+    for box in _MONEY_BOXES:
+        out[box] = N.money_or_null(F.col(box))
+    for b in _B12:
+        code = F.col(f"{b}_CODE")
+        out[f"{b}_CODE"] = F.when(
+            code.rlike("^[A-Z]$") | code.isin("AA", "BB", "DD", "EE", "FF", "GG", "HH"), code
+        )
+        out[f"{b}_AMOUNT"] = N.money_or_null(F.col(f"{b}_AMOUNT"))
+    years = F.expr(r"regexp_extract_all(W2_YEAR, '(19|20)\\d{2}', 0)")
+    out["W2_YEAR"] = F.when(F.size(years) > 0, F.array_min(years))
+    return out
+
+
+def _w2_ok_sql() -> str:
+    """Per-field expected-correct residues, derived independently of
+    the extractor (the oracle side of the variant machinery)."""
+    rows = []
+    always = ["EMPLOYEE_NAME", "EMPLOYEE_ADDRESS", "EMPLOYER_NAME",
+              "EMPLOYER_ADDRESS", "BOX14_OTHER"]
+    for f in always:
+        rows.append(f"SELECT '{f}' AS field, 1 AS ok FROM customer")
+    rows.append("SELECT 'EMPLOYEE_SSN', CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END FROM customer")
+    rows.append("SELECT 'EMPLOYER_FEDERAL_EIN', CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END FROM customer")
+    rows.append("SELECT 'W2_YEAR', CASE WHEN c_custkey % 11 <> 0 THEN 1 ELSE 0 END FROM customer")
+    for i, box in enumerate(_MONEY_BOXES):
+        rows.append(
+            f"SELECT '{box}', CASE WHEN (c_custkey + {i}) % 6 <> 3 THEN 1 ELSE 0 END FROM customer"
+        )
+    for i, b in enumerate(_B12):
+        rows.append(
+            f"SELECT '{b}_CODE', CASE WHEN (c_custkey + {i}) % 8 <> 7 THEN 1 ELSE 0 END FROM customer"
+        )
+        rows.append(
+            f"SELECT '{b}_AMOUNT', CASE WHEN (c_custkey + {10 + i}) % 6 <> 3 THEN 1 ELSE 0 END FROM customer"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "w2_extraction_e2e",
+    oracle=f"""
+    WITH long AS ({_w2_ok_sql()})
+    SELECT COALESCE(field, 'Overall') AS field,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           COUNT(*) AS support,
+           round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM long GROUP BY ROLLUP(field) ORDER BY field
+    """,
+)
+def w2_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 24-field end-to-end (w2_prompt_v1_6_12:4-36 schema;
+    postpro_star_9_3.py post_process composition): render W2 OCR text →
+    mapInPandas extraction with the fixed W2 pattern set → field-class
+    normalizers (SSN/EIN sanity, money_or_null, Box-12 whitelist,
+    earliest-year) → GT comparison → per-field accuracy rollup with
+    Overall. One Arrow stage, one rollup shuffle on a 24-value key."""
+    docs = _w2_docs(spark, sf_dir)
+    gt_cols = tuple(f"gt_{f}" for f in W2_FIELDS)
+    extracted = extract_fields(docs, line_patterns(W2_FIELDS), passthrough=gt_cols)
+    normed = _w2_normalized(extracted)
+    flags = extracted.select(
+        *[
+            F.coalesce((normed[f] == F.col(f"gt_{f}")).cast("int"), F.lit(0)).alias(f"ok_{f}")
+            for f in W2_FIELDS
+        ]
+    )
+    stack_args = ", ".join(f"'{f}', ok_{f}" for f in W2_FIELDS)
+    long = flags.select(
+        F.expr(f"stack({len(W2_FIELDS)}, {stack_args}) AS (field, ok)")
+    )
+    return (
+        long.rollup("field")
+        .agg(
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            F.count("*").alias("support"),
+            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+        .select(
+            F.coalesce(F.col("field"), F.lit("Overall")).alias("field"),
+            "n_correct",
+            "support",
+            "accuracy",
+        )
+        .orderBy("field")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Invoice: model-JSON parse with all-NULL scaffold on failure
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "invoice_scaffold_parse",
+    oracle="""
+    WITH raws AS (
+      SELECT o_orderkey AS doc_id,
+             ('0x' || substr(md5('inv:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 4 AS v,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_scaffolded,
+           CAST(SUM(CASE WHEN v <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(CAST(SUM(CASE WHEN v <> 3 THEN amt ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DECIMAL(28,2)) AS DOUBLE) AS total_due_sum
+    FROM raws
+    """,
+)
+def invoice_scaffold_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice 9-field model-output parsing (privateb_4_8.py:20-46):
+    synthesize model JSON responses — clean / code-fenced / prose-
+    wrapped / irreparably truncated by hash residue — then
+    parse_model_json with the fixed InvoiceFields StructType; failures
+    become all-NULL scaffolds counted as data. Decimal-exact sum of
+    the parsed Total Due proves typed values survive the round trip."""
+    o = load_table(spark, sf_dir, "orders", split=True)
+    amt = F.col("o_totalprice").cast("decimal(18,2)")
+    payload = F.concat(
+        F.lit('{"Bill Date": "2024-01-15", "Due Date": "2024-02-15", '
+              '"Bill to Name": "ACME Corp", "Bill to Address": "1 Way", '
+              '"Vendor Name": "Initech", "Vendor Address": "2 Way", '
+              '"Account Number": "x1234", "Total Due": "'),
+        amt.cast("string"),
+        F.lit('", "Invoice Number": "INV-'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"}'),
+    )
+    from ..functions.text import hash64
+
+    v = hash64(F.concat(F.lit("inv:"), F.col("o_orderkey").cast("string"))) % 4
+    raw = (
+        F.when(v == 0, payload)
+        .when(v == 1, F.concat(F.lit("```json\n"), payload, F.lit("\n```")))
+        .when(v == 2, F.concat(F.lit("Here is the extraction:\n"), payload))
+        # truncated mid-object: brace-repair cannot recover → scaffold
+        .otherwise(F.substring(payload, 1, 40))
+    )
+    docs = o.select(F.col("o_orderkey").alias("doc_id"), raw.alias("raw"))
+    parsed = parse_model_json(docs, INVOICE_FIELDS)
+    due = F.col("parsed.`Total Due`").try_cast("decimal(18,2)")
+    return parsed.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("parse_failed").cast("int")).cast("bigint").alias("n_scaffolded"),
+        F.sum((~F.col("parse_failed")).cast("int")).cast("bigint").alias("n_parsed"),
+        F.sum(F.coalesce(due, F.lit(0).cast("decimal(18,2)")))
+        .cast("decimal(28,2)")
+        .cast("double")
+        .alias("total_due_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Credit-card: transactions ARRAY inside the JSON (private_bb_4_2:62)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "credit_card_txn_parse",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+             CASE WHEN l_linenumber % 4 = 0 THEN -1 ELSE 1 END AS sign
+      FROM lineitem WHERE l_orderkey % 20 = 1
+    )
+    SELECT l_orderkey AS doc_id,
+           COUNT(*) AS n_txns,
+           CAST(CAST(SUM(CASE WHEN sign = 1 THEN amt ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DECIMAL(28,2)) AS DOUBLE) AS charges_sum,
+           CAST(CAST(SUM(CASE WHEN sign = -1 THEN amt ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DECIMAL(28,2)) AS DOUBLE) AS credits_sum
+    FROM li GROUP BY l_orderkey ORDER BY doc_id
+    """,
+)
+def credit_card_txn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card 8-field schema with the transactions ARRAY
+    (private_bb_4_2:30-63): per statement, render the model JSON with
+    its nested transaction list (line items of the order; every 4th a
+    credit), parse with the fixed array<struct> schema, EXPLODE the
+    array to a child table, and roll charges/credits up per doc —
+    array-in-JSON → typed child rows, the reference's 'include them
+    all in a properly formatted array' contract.
+
+    Scale: the JSON assembly is a groupBy(doc) collect_list (one
+    shuffle); parse+explode are narrow; the rollup reuses the doc key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 1)
+    amt = F.col("l_extendedprice").cast("decimal(18,2)")
+    signed = F.when(F.col("l_linenumber") % 4 == 0, -amt).otherwise(amt)
+    txn_json = F.concat(
+        F.lit('{"Transaction_date": "2024-01-'),
+        F.lpad((F.col("l_linenumber") % 28 + 1).cast("string"), 2, "0"),
+        F.lit('", "Vendor_name": "V'),
+        F.col("l_partkey").cast("string"),
+        F.lit('", "Amount": "'),
+        signed.cast("string"),
+        F.lit('"}'),
+    )
+    doc_json = (
+        li.groupBy(F.col("l_orderkey").alias("doc_id"))
+        .agg(
+            F.concat(
+                F.lit('{"Client_Name": "C", "Account_Number": "x9999", '
+                      '"Total_charges": "0", "Total_Credits": "0", '
+                      '"Bank_Name": "Initech Bank", "transactions": ['),
+                F.concat_ws(
+                    ", ",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("l_linenumber").alias("ln"), txn_json.alias("j"))
+                        )
+                    ).getField("j"),
+                ),
+                F.lit("]}"),
+            ).alias("raw")
+        )
+    )
+    parsed = parse_model_json(doc_json, CREDIT_CARD_FIELDS)
+    txns = parsed.select(
+        "doc_id", F.explode(F.col("parsed.transactions")).alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.Amount").try_cast("decimal(18,2)").alias("amt"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        txns.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_txns"),
+            F.sum(F.when(F.col("amt") >= 0, F.col("amt")).otherwise(zero))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("charges_sum"),
+            F.sum(F.when(F.col("amt") < 0, -F.col("amt")).otherwise(zero))
+            .cast("decimal(28,2)")
+            .cast("double")
+            .alias("credits_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -103,6 +103,7 @@ def load_all() -> None:
         return
     from . import (  # noqa: F401
         dedup_plans,
+        doctype_plans,
         encode_plans,
         eval_plans,
         events_plans,
