@@ -74,19 +74,76 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-                "warmup_sec": round(warmup, 3),
-            }
-        )
+    out = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "warmup_sec": round(warmup, 3),
+    }
+    out.update(_trend_vs_previous_round(times, total, sf))
+    print(json.dumps(out))
+
+
+def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -> dict:
+    """Round-over-round deltas: diff against the latest driver-recorded
+    BENCH_r{N}.json (same sf) so per-query regressions are visible in
+    the bench line itself, not only by hand-diffing artifacts."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    meta_keys = {"value", "sf", "n_queries", "warmup_sec", "n", "rc", "cpus"}
+    for path in reversed(candidates):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if prev.get("sf") != sf:
+            continue
+        # The driver wraps the bench line: {"n","rc","cpus","sf","tail",
+        # "parsed"} where tail is the (possibly front-truncated) JSON
+        # text. Accept plain, parsed, or scrape name:time pairs from tail.
+        pq = None
+        for cand_obj in (prev, prev.get("parsed")):
+            if isinstance(cand_obj, dict) and isinstance(cand_obj.get("queries"), dict):
+                pq = cand_obj["queries"]
+                break
+        if pq is None and isinstance(prev.get("tail"), str):
+            pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9.]+)', prev["tail"])
+            pq = {k: float(v) for k, v in pairs if k not in meta_keys}
+        if not pq:
+            continue
+        prev_total = prev.get("value") or (
+            prev.get("parsed", {}) or {}
+        ).get("value") or round(sum(pq.values()), 3)
+        deltas = {
+            name: round(t - pq[name], 3) for name, t in times.items() if name in pq
+        }
+        regressions = dict(
+            sorted(
+                ((n, d) for n, d in deltas.items() if d >= 0.5),
+                key=lambda kv: -kv[1],
+            )
+        )
+        return {
+            "vs_prev": {
+                "prev_round": os.path.basename(path),
+                "prev_total": prev_total,
+                "delta_total": round(total - prev_total, 3),
+                "new_queries": sorted(set(times) - set(pq)),
+                "regressions_ge_500ms": regressions,
+                "query_deltas": deltas,
+            }
+        }
+    return {}
 
 
 if __name__ == "__main__":

@@ -108,6 +108,81 @@ def fit_logreg_head(
     return lr.fit(_to_ml_vectors(train, vec_col, label_col))
 
 
+class CombinedHeadModel:
+    """Two heads over ONE shared feature frame — the Spark-native
+    counterpart of the reference CombinedClassifier (shared trunk +
+    doc-type head + first-page head, fai_combined_3_12.py:54-128).
+    Joint summed-CE backprop through a shared trunk is not Spark ML
+    native; the engine keeps the shared-computation property that
+    matters at scale (featurize ONCE, cache, train both heads from the
+    same materialized frame) and the combined prediction contract
+    (combined ``label:first_pg`` codec + per-head softmax confidence,
+    predict_document fai_combined_3_12.py:320-356)."""
+
+    def __init__(self, doc_model, fp_model):
+        self.doc_model = doc_model
+        self.fp_model = fp_model
+
+    def predict(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        prepared = df.select(id_col, array_to_vector(_as_double(vec_col)).alias("features"))
+        doc = self.doc_model.transform(prepared).select(
+            id_col,
+            F.col("prediction").cast("int").alias("doc_pred"),
+            F.array_max(vector_to_array("probability")).alias("doc_conf"),
+        )
+        fp = self.fp_model.transform(prepared).select(
+            id_col,
+            (F.col("prediction") == 1.0).alias("fp_pred"),
+            F.array_max(vector_to_array("probability")).alias("fp_conf"),
+        )
+        combined = F.concat_ws(
+            ":", F.col("doc_pred").cast("string"),
+            F.when(F.col("fp_pred"), "True").otherwise("False"),
+        )
+        return doc.join(fp, id_col).select(
+            id_col, "doc_pred", "fp_pred", combined.alias("combined_label"),
+            "doc_conf", "fp_conf",
+        )
+
+
+def fit_combined_heads(
+    train: DataFrame,
+    dim: int,
+    n_classes: int,
+    vec_col: str = "embedding",
+    doc_label_col: str = "label",
+    fp_label_col: str = "first_pg",
+    hidden: int = 16,
+    seed: int = 7,
+) -> CombinedHeadModel:
+    """Featurize once → cache → train the doc-type MLP head and the
+    binary first-page logistic head from the SAME materialized frame
+    (the EmbeddingDataset precompute-once pattern,
+    faiss_3_10.py:156-165, applied to both tasks)."""
+    from pyspark.ml.classification import LogisticRegression, MultilayerPerceptronClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    shared = train.select(
+        array_to_vector(_as_double(vec_col)).alias("features"),
+        F.col(doc_label_col).cast("double").alias("doc_label"),
+        F.col(fp_label_col).cast("boolean").cast("double").alias("fp_label"),
+    ).persist()
+    try:
+        shared.count()  # materialize before both fits branch from it
+        mlp = MultilayerPerceptronClassifier(
+            layers=[dim, hidden, n_classes], seed=seed, maxIter=60, blockSize=64,
+            labelCol="doc_label",
+        )
+        doc_model = mlp.fit(shared)
+        lr = LogisticRegression(maxIter=50, labelCol="fp_label")
+        fp_model = lr.fit(shared)
+    finally:
+        shared.unpersist()
+    return CombinedHeadModel(doc_model, fp_model)
+
+
 def predict_head(model, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """model.transform + probability/prediction columns
     (fai_combined_3_12.py:320-356 predict_document)."""
