@@ -181,6 +181,22 @@ def hash64(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def expand_query_terms(text: Column, synonyms: dict[str, str]) -> Column:
+    """Query expansion (RAG_1.py:56-75): append each word's first
+    synonym after the word. The deterministic engine default uses an
+    explicit synonym map (broadcast as a literal CASE chain — pure JVM,
+    no Python); the gated WordNet variant lives in
+    operators/encode.wordnet_expander_udf."""
+
+    def expand_one(w: Column) -> Column:
+        syn = F.lit("")
+        for k, v in synonyms.items():
+            syn = F.when(F.lower(w) == k.lower(), F.lit(" " + v)).otherwise(syn)
+        return F.concat(w, syn)
+
+    return F.concat_ws(" ", F.transform(words(text), expand_one))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """array<string> of k-word shingles over the normalized text; docs
     shorter than k words yield one whole-text shingle.

@@ -161,6 +161,43 @@ def sentence_transformer_encoder_udf(model_name: str = "all-MiniLM-L6-v2", batch
     return encode
 
 
+def wordnet_expander_udf():
+    """Query expansion with WordNet (`RAG_1.py:56-75`): append the
+    first non-identical synonym lemma of each word. GATED: raises
+    ImportError when nltk/wordnet is absent (not in this container) —
+    the deterministic engine default is
+    functions.text.expand_query_terms with an explicit synonym map."""
+    import importlib
+
+    if importlib.util.find_spec("nltk") is None:
+        raise ImportError(
+            "nltk not installed; use functions.text.expand_query_terms "
+            "(deterministic synonym-map default)"
+        )
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def expand(texts: pd.Series) -> pd.Series:
+        from nltk.corpus import wordnet
+
+        def one(q: str) -> str:
+            out = []
+            for w in (q or "").split():
+                out.append(w)
+                for syn in wordnet.synsets(w)[:1]:
+                    for lemma in syn.lemmas():
+                        s = lemma.name().replace("_", " ")
+                        if s.lower() != w.lower():
+                            out.append(s)
+                            break
+            return " ".join(out)
+
+        return texts.map(one)
+
+    return expand
+
+
 # ---------------------------------------------------------------------------
 # Token counting: gated HF tokenizer with BPE-ish JVM fallback
 # ---------------------------------------------------------------------------

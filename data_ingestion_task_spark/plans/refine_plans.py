@@ -503,3 +503,54 @@ def prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(p).cast("bigint").alias("prompt_chars"),
         F.md5(p).alias("prompt_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Query expansion (RAG_1.py:56-75)
+# ---------------------------------------------------------------------------
+
+_SYNONYMS = {
+    "big": "large", "small": "tiny", "fast": "quick",
+    "slow": "sluggish", "join": "merge", "window": "frame",
+}
+
+_D_SYN_CASE = "CASE lower(w) " + " ".join(
+    f"WHEN '{k}' THEN ' {v}'" for k, v in _SYNONYMS.items()
+) + " ELSE '' END"
+
+
+@query(
+    "query_expansion",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+')[1:8] AS qw FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(qw, ' ') AS query_text,
+           array_to_string(list_transform(qw, w -> w || {_D_SYN_CASE}), ' ') AS expanded,
+           CAST(len(list_filter(qw, w -> lower(w) IN ({", ".join(f"'{k}'" for k in _SYNONYMS)})))
+                AS BIGINT) AS n_added
+    FROM q ORDER BY doc_id
+    """,
+)
+def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query expansion (RAG_1.py:56-75): append each query word's
+    first synonym. The engine default is an explicit synonym map as a
+    pure-JVM CASE chain inside ``transform`` (no Python, no model);
+    the gated WordNet UDF (operators/encode.wordnet_expander_udf) is
+    the production drop-in. Queries here are the first 8 words of each
+    document."""
+    from ..functions.text import expand_query_terms, words
+
+    d = load_table(spark, sf_dir, "documents")
+    qw = F.slice(words(F.col("text")), 1, 8)
+    query_text = F.concat_ws(" ", qw)
+    added = F.size(
+        F.filter(qw, lambda w: F.lower(w).isin(*[k.lower() for k in _SYNONYMS]))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        query_text.alias("query_text"),
+        expand_query_terms(query_text, _SYNONYMS).alias("expanded"),
+        added.alias("n_added"),
+    ).orderBy("doc_id")

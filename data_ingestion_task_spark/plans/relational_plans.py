@@ -485,3 +485,82 @@ def distinct_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag").agg(F.count("*").alias("n_supps"))
     )
     return parts.join(supps, "l_returnflag").orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# dropna (Neww_Fai.py:659-660) and deterministic random sample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dropna_filter",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('na:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 7 = 0
+                  THEN NULL ELSE text END AS text,
+             CASE WHEN ('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 11 = 0
+                  THEN NULL ELSE lang END AS label
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN text IS NOT NULL AND label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN text IS NULL OR label IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM noisy
+    """,
+)
+def dropna_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.dropna(subset=['text','label'])`` (Neww_Fai.py:659-660,
+    Fai_new.py:81): hash residues null out ~1/7 of texts and ~1/11 of
+    labels, then ``na.drop`` keeps complete rows. The counts prove the
+    drop semantics (row preserved iff BOTH columns present)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    t_null = hash64(F.concat(F.lit("na:"), F.col("doc_id").cast("string"))) % 7 == 0
+    l_null = hash64(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))) % 11 == 0
+    noisy = d.select(
+        "doc_id",
+        F.when(~t_null, F.col("text")).alias("text"),
+        F.when(~l_null, F.col("lang")).alias("label"),
+    )
+    kept = noisy.na.drop(subset=["text", "label"])
+    return noisy.agg(F.count("*").alias("n_total")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    ).select(
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
+@query(
+    "random_sample_n",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    ORDER BY doc_id
+    """,
+)
+def random_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.sample(25, random_state=123)`` (Faiss_2_10.py:406) as a
+    SEEDED HASH-ORDER sample: order by md5-derived hash of the key,
+    take n. Unlike ``rand(seed)`` this is engine-portable and stable
+    under repartitioning — the same 25 docs come back on any cluster
+    layout. Scale: top-n by hash is a partial top-k per partition +
+    one n-row merge, no global sort."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -101,3 +101,23 @@ def test_num_tokens_falls_back_to_bpe_ish(spark):
     est = df.select(num_tokens(F.col("text")).alias("n")).collect()[0]["n"]
     # transformers absent in this container → both take the BPE-ish path
     assert real == est == 5  # [hello][,][world][!][42]
+
+
+def test_wordnet_expander_gate():
+    import importlib.util
+
+    from data_ingestion_task_spark.operators.encode import wordnet_expander_udf
+
+    if importlib.util.find_spec("nltk") is None:
+        with pytest.raises(ImportError, match="nltk"):
+            wordnet_expander_udf()
+
+
+def test_expand_query_terms_column(spark):
+    from data_ingestion_task_spark.functions.text import expand_query_terms
+
+    df = spark.createDataFrame([("the BIG slow join",)], "q string")
+    out = df.select(
+        expand_query_terms(F.col("q"), {"big": "large", "join": "merge"}).alias("e")
+    ).collect()[0]["e"]
+    assert out == "the BIG large slow join merge"

@@ -73,3 +73,15 @@ def test_json_dataset_sink(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 100
     assert back.agg(F.sum("sq")).collect()[0][0] == sum(i * i for i in range(100))
+
+
+def test_csv_sink_round_trip(spark, tmp_path):
+    # SURVEY §2.1 CSV sink (csv_single_3.py:59 to_csv) — distributed write
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -2.25)], "id bigint, s string, v double"
+    )
+    out = str(tmp_path / "csv_out")
+    df.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.option("header", True).schema(df.schema).csv(out)
+    assert back.count() == 2
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
