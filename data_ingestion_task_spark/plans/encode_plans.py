@@ -106,18 +106,24 @@ def text_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query/index doc split by hash residue (25% queries) mirrors the
     reference's train/test split; votes are integer counts so the
     result is exactly hash-checkable."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = load_table(spark, sf_dir, "documents", split=True).select("doc_id", "lang", "text")
     chunks = explode_chunks(
         d, text_col="text", id_cols=["doc_id", "lang"],
         chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
     )
     enc = hashing_encoder_udf(ENC_DIM)
+    # Encode ONCE and materialize: the kNN join branches from this
+    # frame four ways (index collect, query candidate stage, exact
+    # re-score joins) — uncached, each branch re-runs the chunk+encode
+    # pandas_udf subtree. split=True parallelizes the single-file scan
+    # under the Python stage.
     emb = chunks.select(
         "doc_id",
         "lang",
         (F.col("doc_id") * 256 + F.col("chunk_idx")).alias("cid"),
         enc(F.col("chunk_text")).alias("embedding"),
-    )
+    ).persist()
+    emb.count()
     is_query = hash64(F.concat(F.lit("tkc:"), F.col("doc_id").cast("string"))) % 4 == 0
     qc = emb.filter(is_query).select(
         F.col("cid").alias("query_id"), "doc_id", F.col("lang").alias("true_label"), "embedding"
@@ -135,7 +141,7 @@ def text_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_votes"))
     )
     wv = Window.partitionBy("doc_id").orderBy(F.desc("n_votes"), F.asc("label"))
-    return (
+    result = (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
         .select(
@@ -147,6 +153,8 @@ def text_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    result._cached_deps = [emb]  # library callers: unpersist when done
+    return result
 
 
 @query(
