@@ -145,3 +145,43 @@ def start_windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_deduped_ingest(
+    spark: SparkSession,
+    inbox: str,
+    out_dir: str,
+    checkpoint: str,
+    schema: StructType,
+    dedup_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """Incremental EXACT dedup on the ingest path: re-delivered or
+    re-scanned documents (the at-least-once file source, or upstream
+    OCR retries — ocr_agent_8_29.py checksummed-transfer concern) are
+    dropped by content fingerprint before they reach the sink.
+
+    ``dropDuplicates`` keeps one state entry per fingerprint;
+    production bounds that state with ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` (dup window = watermark horizon).
+    The local testdata has no event-time column on documents, so this
+    uses the unbounded variant — the state-bounding upgrade is a
+    one-line swap documented here on purpose.
+
+    Scale: state lives in the state store partitioned by fingerprint —
+    one shuffle per micro-batch on the fingerprint key; entries are a
+    16-byte md5 each, so 10^9 seen-docs ≈ tens of GB across 1000
+    executors' stores.
+    """
+    dedup_cols = dedup_cols or ["fingerprint"]
+    stream = ingest_transform(document_stream(spark, inbox, schema))
+    deduped = stream.dropDuplicates(dedup_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

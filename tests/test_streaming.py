@@ -133,3 +133,28 @@ def test_stateful_sessions_match_batch_twin(spark, sf_dir, tmp_path):
     )
     assert final.count() == twin.count() > 0
     assert final.exceptAll(twin).count() == 0 and twin.exceptAll(final).count() == 0
+
+
+def test_deduped_ingest_drops_redelivered_docs(spark, sf_dir, tmp_path):
+    from data_ingestion_task_spark.streaming.ingest import start_deduped_ingest
+
+    inbox = tmp_path / "dd_inbox"
+    out = tmp_path / "dd_out"
+    ckpt = tmp_path / "dd_ckpt"
+    inbox.mkdir()
+    shutil.copy(table_path(sf_dir, "documents"), inbox / "batch1.parquet")
+
+    schema = spark.read.parquet(str(inbox / "batch1.parquet")).schema
+    q = start_deduped_ingest(spark, str(inbox), str(out), str(ckpt), schema)
+    q.awaitTermination(120)
+    base = load_table(spark, sf_dir, "documents")
+    n_unique = base.select("text").distinct().count()
+    got = spark.read.parquet(str(out))
+    assert got.count() == n_unique  # exact-copy docs deduped by fingerprint
+
+    # redeliver the SAME file under a new name (upstream retry): the
+    # fingerprint state drops every row of it
+    shutil.copy(table_path(sf_dir, "documents"), inbox / "batch1_redelivered.parquet")
+    q2 = start_deduped_ingest(spark, str(inbox), str(out), str(ckpt), schema)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == n_unique
