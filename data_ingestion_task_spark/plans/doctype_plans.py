@@ -400,3 +400,169 @@ def credit_card_txn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PBST bank statement: the reference's headline doc type (doc_8_14)
+# ---------------------------------------------------------------------------
+
+_PBST_TYPES_RAW = ["Personal Checking Account", "Business Credit Card", "Household Savings Plan"]
+_PBST_TYPES_GT = ["CHECKING", "CREDIT_CARD", "SAVINGS"]
+
+
+def _pbst_cols(k: Column, name: Column) -> dict[str, tuple[Column, Column]]:
+    """PBST field → (raw rendered, ground truth); the 10-field schema
+    of doc_8_14:66-131 with the §2.7 corruption-variant machinery.
+    GT types follow the cheapest exact compare: decimals for plain
+    money, display string for the sign-enforced credits, dates for
+    dates."""
+    d4 = F.lpad((k % 10000).cast("string"), 4, "0")
+    acct_raw = F.when(k % 9 == 0, F.concat(F.lit("acct "), d4)).otherwise(
+        F.concat(F.lit("ending in:"), d4)
+    )
+
+    start = F.date_add(F.lit("2024-01-01").cast("date"), (k % 365).cast("int"))
+    end = F.date_add(start, 30)
+
+    def date_variant(dcol: Column, dv: Column) -> Column:
+        return (
+            F.when(dv == 1, F.date_format(dcol, "MMM d, yyyy"))
+            .when(dv == 2, F.date_format(dcol, "yyyy-MM-dd"))
+            .when(dv == 3, F.lit("99/99/9999"))
+            .otherwise(F.date_format(dcol, "MM/dd/yyyy"))
+        )
+
+    charges_v = ((k % 7000) + 200).cast("decimal(18,2)")
+    charges_raw, charges_gt = _money_raw_gt(charges_v, (k + 1) % 6)
+    due_v = ((k % 4000) + 75).cast("decimal(18,2)")
+    due_raw, due_gt = _money_raw_gt(due_v, (k + 3) % 6)
+
+    cred_v = ((k % 2500) + 40).cast("decimal(18,2)")
+    cred_raw, _ = _money_raw_gt(cred_v, (k + 2) % 6)
+    cred_gt = N.format_money(-cred_v)  # credits are ALWAYS negative (post_pro_9_8.py:75-110)
+
+    tv = (k % 3 + 1).cast("int")
+    type_raw = F.element_at(F.array(*[F.lit(x) for x in _PBST_TYPES_RAW]), tv)
+    type_gt = F.element_at(F.array(*[F.lit(x) for x in _PBST_TYPES_GT]), tv)
+
+    vv = k % 4
+    vendor_raw = (
+        F.when(vv == 0, F.lit("CapitalOne"))
+        .when(vv == 1, F.lit("Capital One"))
+        .when(vv == 2, name)
+        .otherwise(F.lit(None).cast("string"))  # line missing
+    )
+    vendor_gt = F.when(vv.isin(0, 1), F.lit("Capital One")).otherwise(name)
+
+    return {
+        "client_name": (name, name),
+        "account_number": (acct_raw, d4),
+        "total_charges": (charges_raw, charges_gt),
+        "total_credits": (cred_raw, cred_gt),
+        "statement_start_date": (date_variant(start, k % 7), start),
+        "statement_end_date": (date_variant(end, (k + 5) % 7), end),
+        "total_due": (due_raw, due_gt),
+        "vendor_name": (vendor_raw, vendor_gt),
+        "account_type": (type_raw, type_gt),
+        "bank_name": (F.lit("Initech Bank"), F.lit("Initech Bank")),
+    }
+
+
+def _pbst_normalized() -> dict[str, Column]:
+    """The post_process_fields composition (postpro_star_9_3.py:71-119)
+    per PBST field: acct last-4, money parse, credit sign enforcement,
+    multi-format date sanity, vendor normalize, keyword account-type."""
+    return {
+        "client_name": F.trim(F.col("client_name")),
+        "account_number": N.acct_last4(F.col("account_number")),
+        "total_charges": N.money_decimal(F.col("total_charges")),
+        "total_credits": N.ensure_negative_money(N.money_or_null(F.col("total_credits"))),
+        "statement_start_date": N.parse_date_multi(F.col("statement_start_date")),
+        "statement_end_date": N.parse_date_multi(F.col("statement_end_date")),
+        "total_due": N.money_decimal(F.col("total_due")),
+        "vendor_name": N.normalize_vendor(F.col("vendor_name")),
+        "account_type": (
+            F.when(F.col("account_type").rlike("(?i)credit card"), "CREDIT_CARD")
+            .when(F.col("account_type").rlike("(?i)checking"), "CHECKING")
+            .when(F.col("account_type").rlike("(?i)savings"), "SAVINGS")
+        ),
+        "bank_name": F.trim(F.col("bank_name")),
+    }
+
+
+_PBST_OK = {
+    "client_name": "1",
+    "account_number": "CASE WHEN c_custkey % 9 <> 0 THEN 1 ELSE 0 END",
+    "total_charges": "CASE WHEN (c_custkey + 1) % 6 <> 3 THEN 1 ELSE 0 END",
+    "total_credits": "CASE WHEN (c_custkey + 2) % 6 <> 3 THEN 1 ELSE 0 END",
+    "statement_start_date": "CASE WHEN c_custkey % 7 <> 3 THEN 1 ELSE 0 END",
+    "statement_end_date": "CASE WHEN (c_custkey + 5) % 7 <> 3 THEN 1 ELSE 0 END",
+    "total_due": "CASE WHEN (c_custkey + 3) % 6 <> 3 THEN 1 ELSE 0 END",
+    "vendor_name": "CASE WHEN c_custkey % 4 <> 3 THEN 1 ELSE 0 END",
+    "account_type": "1",
+    "bank_name": "1",
+}
+
+
+@query(
+    "pbst_extraction_e2e",
+    oracle=f"""
+    WITH long AS ({" UNION ALL ".join(
+        f"SELECT '{f}' AS field, {ok} AS ok FROM customer" for f, ok in _PBST_OK.items()
+    )})
+    SELECT COALESCE(field, 'Overall') AS field,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           COUNT(*) AS support,
+           round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM long GROUP BY ROLLUP(field) ORDER BY field
+    """,
+)
+def pbst_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PBST bank-statement 10-field end-to-end — the reference's
+    HEADLINE pipeline (doc_8_14:66-131 schema; 96.25% overall is
+    BASELINE.md's top number): render → mapInPandas extract →
+    post_process_fields composition (acct last-4, money parse, credit
+    sign enforcement, 5-format date sanity, vendor normalize, keyword
+    account-type) → per-field accuracy rollup with Overall."""
+    from ..operators.schemas import PBST_FIELDS
+
+    c = load_table(spark, sf_dir, "customer", split=True)
+    cols = _pbst_cols(F.col("c_custkey"), F.col("c_name"))
+    lines = [
+        F.lit("MONTHLY ACCOUNT STATEMENT"),
+        *[
+            F.when(cols[f][0].isNotNull(), F.concat(F.lit(f"{f}: "), cols[f][0]))
+            for f in PBST_FIELDS
+        ],
+    ]
+    docs = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_name").alias("src_name"),
+        F.concat_ws("\n", *lines).alias("text"),
+    )
+    extracted = extract_fields(docs, line_patterns(PBST_FIELDS), passthrough=("src_name",))
+    normed = _pbst_normalized()
+    gt = _pbst_cols(F.col("doc_id"), F.col("src_name"))
+    flags = extracted.select(
+        *[
+            F.coalesce((normed[f] == gt[f][1]).cast("int"), F.lit(0)).alias(f"ok_{f}")
+            for f in PBST_FIELDS
+        ]
+    )
+    stack_args = ", ".join(f"'{f}', ok_{f}" for f in PBST_FIELDS)
+    long = flags.select(F.expr(f"stack({len(PBST_FIELDS)}, {stack_args}) AS (field, ok)"))
+    return (
+        long.rollup("field")
+        .agg(
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            F.count("*").alias("support"),
+            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+        .select(
+            F.coalesce(F.col("field"), F.lit("Overall")).alias("field"),
+            "n_correct",
+            "support",
+            "accuracy",
+        )
+        .orderBy("field")
+    )
