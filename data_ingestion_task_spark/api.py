@@ -1,0 +1,175 @@
+"""User-facing pipeline facade: the reference's notebook workflows as
+four composable calls over DataFrames.
+
+The reference team's daily loop (SURVEY §3) is: ingest pages →
+classify documents → extract fields per doc type → normalize →
+evaluate against golden truth. Each step below is a thin veneer over
+the engine's operators — everything returns a DataFrame, so steps
+compose, Catalyst optimizes across them, and any step slots into a
+bigger plan.
+
+    from data_ingestion_task_spark import api
+    docs   = api.ingest_documents(raw_pages)            # §2.1-2.2
+    labeled = api.classify_documents(docs, index_docs)  # §2.6 kNN vote
+    fields = api.extract_documents(docs, doc_type="pbst")  # §2.9
+    report = api.evaluate_extraction(fields, gt_long)   # §2.12
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import normalize as N
+from .functions.text import explode_chunks, hash64
+from .operators.encode import hashing_encoder_udf
+from .operators.extract import extract_fields
+from .operators.knn import knn_join_exact
+from .operators.schemas import (
+    INVOICE_FIELDS,
+    PBST_FIELDS,
+    W2_FIELDS,
+    line_patterns,
+)
+from .streaming.ingest import ingest_transform
+
+DOC_TYPE_FIELDS = {
+    "w2": W2_FIELDS,
+    "pbst": PBST_FIELDS,
+    "invoice": INVOICE_FIELDS,
+}
+
+
+def ingest_documents(docs: DataFrame) -> DataFrame:
+    """Consolidate raw documents: lengths, content fingerprint,
+    language guess, quality score (the OCR-agent standard schema).
+    Expects columns ``doc_id, text, source``."""
+    return ingest_transform(docs)
+
+
+def classify_documents(
+    query_docs: DataFrame,
+    index_docs: DataFrame,
+    label_col: str = "label",
+    k: int = 3,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    encoder=None,
+    dim: int = 16,
+) -> DataFrame:
+    """kNN document classification from raw text (the Faiss_2_10
+    lifecycle): chunk both sides, encode (deterministic hashing default;
+    pass ``encoder=`` for a real model), cosine top-k per chunk,
+    majority vote per document. Returns ``doc_id, pred_label, n_votes``.
+
+    ``query_docs``: ``doc_id, text``; ``index_docs``: ``doc_id, text,
+    {label_col}``."""
+    enc = encoder or hashing_encoder_udf(dim)
+
+    def embed(df: DataFrame, extra: list[str]) -> DataFrame:
+        ch = explode_chunks(
+            df, text_col="text", id_cols=["doc_id", *extra],
+            chunk_size=chunk_size, overlap=overlap,
+        )
+        return ch.select(
+            "doc_id", *extra,
+            (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias("cid"),
+            enc(F.col("chunk_text")).alias("embedding"),
+        )
+
+    q = embed(query_docs, []).select(
+        F.col("cid").alias("query_id"), F.col("doc_id").alias("qdoc"), "embedding"
+    ).persist()
+    x = embed(index_docs, [label_col]).select(
+        F.col("cid").alias("neighbor_id"), F.col(label_col).alias("_lbl"), "embedding"
+    ).persist()
+    topk = knn_join_exact(
+        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=k
+    )
+    votes = (
+        topk.join(q.select("query_id", "qdoc"), "query_id")
+        .join(x.select("neighbor_id", "_lbl"), "neighbor_id")
+        .groupBy(F.col("qdoc").alias("doc_id"), F.col("_lbl").alias("pred_label"))
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_votes"), F.asc("pred_label"))
+    out = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    out._cached_deps = [q, x]
+    return out
+
+
+def extract_documents(
+    docs: DataFrame,
+    doc_type: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Deterministic line-pattern extraction with the doc type's fixed
+    field schema (swap in a model stage via operators/extract for
+    production). ``normalize=True`` applies the §2.7 post-processors to
+    the fields they own (money/date/acct/vendor)."""
+    fields = DOC_TYPE_FIELDS[doc_type]
+    out = extract_fields(docs, line_patterns(fields))
+    if not normalize:
+        return out
+    norms: dict[str, Column] = {}
+    for f in fields:
+        lf = f.lower()
+        col = F.col(f"`{f}`")
+        if "date" in lf:
+            norms[f] = N.date_sane(col)
+        elif any(t in lf for t in ("amount", "charges", "credits", "due", "wages", "withhold")):
+            norms[f] = N.money_or_null(col)
+        elif "account" in lf and "number" in lf:
+            norms[f] = N.acct_last4(col)
+        elif "vendor" in lf:
+            norms[f] = N.normalize_vendor(col)
+        else:
+            norms[f] = F.trim(col)
+    return out.select(
+        "doc_id", *[norms[f].alias(f) for f in fields]
+    )
+
+
+def evaluate_extraction(preds_long: DataFrame, gt_long: DataFrame) -> DataFrame:
+    """Field-accuracy report with Overall row (metrics_8_6.py): join
+    long-form predictions to long-form GT on (doc_id, field), compare
+    trimmed values, rollup. Both inputs: ``doc_id, field, value``."""
+    j = preds_long.alias("p").join(
+        gt_long.alias("g"), ["doc_id", "field"], "full_outer"
+    )
+    ok = (
+        F.when(F.col("p.value").isNull() & F.col("g.value").isNull(), 1)
+        .when(
+            F.trim(F.col("p.value")) == F.trim(F.col("g.value")), 1
+        )
+        .otherwise(0)
+    )
+    return (
+        j.select("field", ok.alias("ok"))
+        .rollup("field")
+        .agg(
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            F.count("*").alias("support"),
+            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+        .select(
+            F.coalesce("field", F.lit("Overall")).alias("field"),
+            "n_correct", "support", "accuracy",
+        )
+        .orderBy("field")
+    )
+
+
+def train_test_split_by_doc(
+    docs: DataFrame, test_frac_mod: int = 5, id_col: str = "doc_id", salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-free deterministic split on the document key (hash
+    residue — portable and stable under repartitioning; the engine's
+    replacement for sample(random_state))."""
+    h = hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % test_frac_mod
+    return docs.filter(h != 0), docs.filter(h == 0)

@@ -564,3 +564,33 @@ def random_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "approx_distinct_tolerance",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
+)
+def approx_distinct_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HyperLogLog++ ``approx_count_distinct``
+    (no shuffle of distinct values — fixed 2^p-register sketch per
+    partition, merged associatively) next to the exact count. The query
+    EMITS its own acceptance check: ``approx_within_5pct`` must come
+    back true, so the correctness gate fails if the sketch ever drifts
+    past 5% — the estimate itself is engine-specific and deliberately
+    not hash-compared."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )

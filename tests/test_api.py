@@ -1,0 +1,69 @@
+"""Facade tests: the reference user's ingest → classify → extract →
+evaluate loop through data_ingestion_task_spark.api."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_task_spark import api
+from data_ingestion_task_spark.sources.tables import load_table
+
+
+def test_ingest_and_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ingested = api.ingest_documents(docs)
+    assert {"doc_id", "fingerprint", "lang_guess", "quality", "char_len"} <= set(
+        ingested.columns
+    )
+    train, test = api.train_test_split_by_doc(docs)
+    n, nt, nv = docs.count(), train.count(), test.count()
+    assert nt + nv == n and 0 < nv < n
+    # disjoint by construction
+    assert train.join(test, "doc_id").count() == 0
+
+
+def test_classify_documents_votes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train, test = api.train_test_split_by_doc(docs)
+    preds = api.classify_documents(
+        test.select("doc_id", "text"), train, label_col="lang", k=3
+    )
+    rows = preds.collect()
+    assert len(rows) == test.count() > 0
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert all(r["pred_label"] in langs and r["n_votes"] >= 1 for r in rows)
+
+
+def test_extract_and_evaluate_roundtrip(spark, sf_dir):
+    # render a tiny PBST-ish doc through the facade and score it
+    docs = spark.createDataFrame(
+        [
+            (1, "client_name: Ann B\naccount_number: ending in:1234\n"
+                "total_due: (12.50)\nvendor_name: CapitalOne"),
+            (2, "client_name: Cy D\naccount_number: acct 9999\n"
+                "total_due: 7.25\nvendor_name: Initech"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fields = api.extract_documents(docs, "pbst")
+    by_id = {r["doc_id"]: r for r in fields.collect()}
+    assert by_id[1]["account_number"] == "1234"
+    assert by_id[1]["total_due"] == "-$12.50"
+    assert by_id[1]["vendor_name"] == "Capital One"
+    assert by_id[2]["account_number"] is None  # unmasked → refused
+    assert by_id[2]["total_due"] == "$7.25"
+
+    preds = fields.select(
+        "doc_id", F.expr("stack(2, 'total_due', total_due, 'vendor_name', vendor_name) AS (field, value)")
+    )
+    gt = spark.createDataFrame(
+        [
+            (1, "total_due", "-$12.50"), (1, "vendor_name", "Capital One"),
+            (2, "total_due", "$9.99"), (2, "vendor_name", "Initech"),
+        ],
+        "doc_id bigint, field string, value string",
+    )
+    report = {r["field"]: r for r in api.evaluate_extraction(preds, gt).collect()}
+    assert report["vendor_name"]["n_correct"] == 2
+    assert report["total_due"]["n_correct"] == 1
+    assert report["Overall"]["support"] == 4
