@@ -173,3 +173,42 @@ def train_test_split_by_doc(
     replacement for sample(random_state))."""
     h = hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % test_frac_mod
     return docs.filter(h != 0), docs.filter(h == 0)
+
+
+def confirm_documents(
+    df: DataFrame,
+    doc_first: str,
+    doc_last: str,
+    doc_addr: str,
+    sor_first: str,
+    sor_last: str,
+    sor_addr: str,
+) -> DataFrame:
+    """System-of-record validation confirmation as a reusable stage
+    (conf_5_22.py rule spec; keyy_4_21.py 2-of-3 decision;
+    confirmation_service.py's /confirm-document contract minus the
+    Flask wrapper): nickname-canonicalized first-name match,
+    case-folded last-name match, street-abbreviation-normalized
+    address match → ``n_matches``, ``decision`` yes/no, ``confidence``
+    and ``explanation`` — the service's response dict as columns."""
+    from .plans.extract_plans import _norm_addr, _norm_first
+
+    def m(cond: Column) -> Column:
+        return F.coalesce(cond.cast("int"), F.lit(0))
+
+    fm = m(_norm_first(F.col(doc_first)) == _norm_first(F.col(sor_first)))
+    lm = m(F.lower(F.trim(F.col(doc_last))) == F.lower(F.trim(F.col(sor_last))))
+    am = m(_norm_addr(F.col(doc_addr)) == _norm_addr(F.col(sor_addr)))
+    n = fm + lm + am
+    explanation = F.concat_ws(
+        "; ",
+        F.when(fm == 1, F.lit("first name matches")).otherwise(F.lit("first name differs")),
+        F.when(lm == 1, F.lit("last name matches")).otherwise(F.lit("last name differs")),
+        F.when(am == 1, F.lit("address matches")).otherwise(F.lit("address differs")),
+    )
+    return (
+        df.withColumn("n_matches", n)
+        .withColumn("decision", F.when(n >= 2, "yes").otherwise("no"))
+        .withColumn("confidence", F.round(n.cast("double") / 3, 6))
+        .withColumn("explanation", explanation)
+    )

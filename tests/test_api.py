@@ -67,3 +67,42 @@ def test_extract_and_evaluate_roundtrip(spark, sf_dir):
     assert report["vendor_name"]["n_correct"] == 2
     assert report["total_due"]["n_correct"] == 1
     assert report["Overall"]["support"] == 4
+
+
+def test_confirm_documents_rules(spark):
+    rows = [
+        # exact → 3 matches, yes
+        (1, "William", "Smith", "12 Maple Street", "William", "Smith", "12 Maple Street"),
+        # nickname + abbreviation → still yes (Bill=William, St=Street)
+        (2, "Bill", "Smith", "12 Maple St", "William", "Smith", "12 Maple Street"),
+        # conflicting last + missing address → 1 match, no
+        (3, "Liz", "Jones", None, "Elizabeth", "Taylor", "9 Oak Avenue"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, df string, dl string, da string, sf string, sl string, sa string"
+    )
+    out = {r["id"]: r for r in api.confirm_documents(
+        df, "df", "dl", "da", "sf", "sl", "sa"
+    ).collect()}
+    assert out[1]["decision"] == "yes" and out[1]["n_matches"] == 3
+    assert out[2]["decision"] == "yes" and out[2]["n_matches"] == 3
+    assert out[3]["decision"] == "no" and out[3]["n_matches"] == 1
+    assert "first name matches" in out[3]["explanation"]
+    assert out[3]["confidence"] == 0.333333
+
+
+def test_scrape_addresses_with_fake_fetcher(spark):
+    from data_ingestion_task_spark.sources.webscrape import scrape_addresses
+
+    html = """
+    <html><body>
+      <div class="listing"><div class="address-class"> 12 Maple <b>Street</b>,
+        Carrollton TX </div></div>
+      <div class="address-class other">9 Oak Avenue</div>
+      <span class="not-address">ignore me</span>
+      <div class="address-class"></div>
+    </body></html>
+    """
+    df = scrape_addresses(spark, "https://example.test", fetcher=lambda u: html)
+    got = sorted(r["address"] for r in df.collect())
+    assert got == ["12 Maple Street, Carrollton TX", "9 Oak Avenue"]
