@@ -59,18 +59,28 @@ def main() -> None:
     # query stable, but this VM occasionally stalls 10-40s at random
     # points; min-of-2 keeps one stall from misattributing cost to
     # whichever query it landed on.
-    times: dict[str, float] = {}
+    def run_once(name: str, fn) -> float:
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        dt = round(time.time() - t0, 3)
+        # Queries are self-contained; drop any cache a query
+        # persisted for intra-query reuse so later measurements
+        # don't absorb eviction/GC from accumulated state.
+        spark.catalog.clearCache()
+        return dt
+
+    samples: dict[str, list[float]] = {}
     for _pass in range(2):
         for name, fn in sorted(qs.items()):
-            t0 = time.time()
-            n = materialize(fn(spark, sf_dir))
-            dt = round(time.time() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
-            _ = n
-            # Queries are self-contained; drop any cache a query
-            # persisted for intra-query reuse so later measurements
-            # don't absorb eviction/GC from accumulated state.
-            spark.catalog.clearCache()
+            samples.setdefault(name, []).append(run_once(name, fn))
+    # Adaptive third sample when the two passes disagree >2× on a
+    # non-trivial query — both may have landed in one of this VM's
+    # multi-second stall phases; one more floor sample bounds that.
+    for name, fn in sorted(qs.items()):
+        s = samples[name]
+        if min(s) > 0.5 and max(s) / min(s) > 2.0:
+            s.append(run_once(name, fn))
+    times = {name: min(s) for name, s in samples.items()}
 
     total = round(sum(times.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
