@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import fingerprint_md5, hash64, word_shingles, words
 from ..sources.tables import load_table
@@ -401,3 +402,129 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("sim", 9).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components + canonical election
+# ---------------------------------------------------------------------------
+
+
+def _d_minhash_pairs_cte() -> str:
+    """The verified MinHash-LSH pair pipeline as a reusable CTE body
+    (same construction as the dedup_minhash_lsh oracle)."""
+    sigs = ", ".join(
+        "MIN(" + _d_hash64(f"'{i}:' || CAST(h AS VARCHAR)") + f") AS sig{i}"
+        for i in range(N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, 'b{b}:' || CAST(sig{2*b} AS VARCHAR) || ':' || CAST(sig{2*b+1} AS VARCHAR) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    corpus AS ({_D_CORPUS}),
+    hsl AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_D_SHINGLES},
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      FROM corpus
+    ),
+    sh AS (SELECT doc_id, unnest(hs) AS h FROM hsl),
+    sigs AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN hsl x ON x.doc_id = c.doc_a JOIN hsl y ON y.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+            / len(list_distinct(x.hs || y.hs)) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    {_d_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS node FROM corpus
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp ORDER BY doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's MISSING LAST STEP: near-dup pairs →
+    connected components → canonical-document election (keep min id
+    per cluster) — what a training-data pipeline actually deletes by.
+
+    Components via min-label propagation: every doc starts labeled
+    with itself; each round takes min(own label, neighbors' labels);
+    fixpoint in O(component diameter) rounds — duplicate clusters are
+    near-cliques (every member collides in some band with most
+    others), so diameter is 1-2 and the loop exits after ~3 rounds.
+    Convergence is detected by the monotone sum of labels. At 1000×
+    scale the same loop holds (each round = one shuffle of the edge
+    list); for graphs with LONG chains swap in the two-phase
+    large-star/small-star iteration — duplicate graphs aren't that.
+
+    Output: every corpus doc with its cluster id, cluster size, and
+    whether it is the cluster's canonical representative."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _corpus(spark, sf_dir).select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    cached = [edges, labels]
+    for _round in range(20):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        cached.remove(labels)
+        labels = new_labels
+        cached.append(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    w = Window.partitionBy("cluster_id")
+    result = (
+        labels.select(
+            "doc_id",
+            "cluster_id",
+            F.count("*").over(w).cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+    result._cached_deps = cached + getattr(pairs, "_cached_deps", [])
+    return result

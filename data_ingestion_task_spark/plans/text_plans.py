@@ -220,3 +220,88 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", T.fingerprint_md5(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary / length-distribution analytics
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is",
+    "der", "die", "und", "le", "la", "les", "el", "los",
+]
+
+_D_NORM_WORDS = (
+    "list_filter(str_split(regexp_replace(regexp_replace(lower(trim(text)), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
+)
+
+
+@query(
+    "term_doc_frequency",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_D_NORM_WORDS})) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM tok
+    WHERE term NOT IN ({", ".join(f"'{w}'" for w in _STOPWORDS)})
+    GROUP BY term
+    ORDER BY doc_freq DESC, term
+    LIMIT 20
+    """,
+)
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-20 terms by DOCUMENT frequency,
+    stopword-filtered — the training-data curation staple (and the
+    classic distributed wordcount, but per-doc-distinct so one hot
+    term in one doc can't dominate). Per-doc token dedup happens in
+    the narrow map (array_distinct) BEFORE the explode, so the shuffle
+    carries each (doc, term) once."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    toks = F.array_distinct(F.filter(F.split(norm, " "), lambda w: w != ""))
+    return (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .filter(~F.col("term").isin(_STOPWORDS))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(least({_D_WORDLEN} // 50, 19) AS BIGINT) AS bucket,
+             {_D_WORDLEN} AS n_words
+      FROM documents
+    )
+    SELECT bucket,
+           bucket * 50 AS words_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM w GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution histogram (50-word buckets, top-coded at
+    bucket 19) — the quality-filter design tool for length cutoffs.
+    One narrow bucket map + one low-cardinality agg."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = T.word_len(F.col("text"))
+    bucket = F.least(F.floor(n_words / 50), F.lit(19)).cast("bigint")
+    return (
+        d.select(bucket.alias("bucket"), n_words.alias("n_words"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .select("bucket", (F.col("bucket") * 50).alias("words_lo"), "n_docs", "total_words")
+        .orderBy("bucket")
+    )
