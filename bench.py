@@ -105,10 +105,12 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    candidates = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:  # ignore stray non-numbered artifacts
+            numbered.append((int(m.group(1)), p))
+    candidates = [p for _, p in sorted(numbered)]
     meta_keys = {"value", "sf", "n_queries", "warmup_sec", "n", "rc", "cpus"}
     for path in reversed(candidates):
         try:
@@ -127,7 +129,10 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
                 pq = cand_obj["queries"]
                 break
         if pq is None and isinstance(prev.get("tail"), str):
-            pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9.]+)', prev["tail"])
+            # Scrape only the primary queries map: cut before vs_prev,
+            # whose query_deltas would otherwise shadow the real times.
+            tail = prev["tail"].split('"vs_prev"')[0]
+            pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9.]+)', tail)
             pq = {k: float(v) for k, v in pairs if k not in meta_keys}
         if not pq:
             continue

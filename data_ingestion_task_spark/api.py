@@ -64,7 +64,9 @@ def classify_documents(
     majority vote per document. Returns ``doc_id, pred_label, n_votes``.
 
     ``query_docs``: ``doc_id, text``; ``index_docs``: ``doc_id, text,
-    {label_col}``."""
+    {label_col}``. The result holds two persisted chunk-embedding
+    frames (``_cached_deps``); long-lived sessions should call
+    ``api.release(result)`` after collecting."""
     enc = encoder or hashing_encoder_udf(dim)
 
     def embed(df: DataFrame, extra: list[str]) -> DataFrame:
@@ -72,9 +74,11 @@ def classify_documents(
             df, text_col="text", id_cols=["doc_id", *extra],
             chunk_size=chunk_size, overlap=overlap,
         )
+        # chunk key: 64-bit hash of (doc_id, chunk_idx) — works for any
+        # doc_id type and any chunk count (collision odds ~2^-64/pair)
         return ch.select(
             "doc_id", *extra,
-            (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias("cid"),
+            F.xxhash64(F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
             enc(F.col("chunk_text")).alias("embedding"),
         )
 
@@ -122,7 +126,7 @@ def extract_documents(
         col = F.col(f"`{f}`")
         if "date" in lf:
             norms[f] = N.date_sane(col)
-        elif any(t in lf for t in ("amount", "charges", "credits", "due", "wages", "withhold")):
+        elif any(t in lf for t in ("amount", "charges", "credits", "due", "wage", "withhold", "tips")):
             norms[f] = N.money_or_null(col)
         elif "account" in lf and "number" in lf:
             norms[f] = N.acct_last4(col)
@@ -133,6 +137,14 @@ def extract_documents(
     return out.select(
         "doc_id", *[norms[f].alias(f) for f in fields]
     )
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the cached intermediates a facade result references
+    (no-op for results without any). Call after collecting when the
+    session lives on."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
 
 
 def evaluate_extraction(preds_long: DataFrame, gt_long: DataFrame) -> DataFrame:
@@ -149,20 +161,9 @@ def evaluate_extraction(preds_long: DataFrame, gt_long: DataFrame) -> DataFrame:
         )
         .otherwise(0)
     )
-    return (
-        j.select("field", ok.alias("ok"))
-        .rollup("field")
-        .agg(
-            F.sum("ok").cast("bigint").alias("n_correct"),
-            F.count("*").alias("support"),
-            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
-        )
-        .select(
-            F.coalesce("field", F.lit("Overall")).alias("field"),
-            "n_correct", "support", "accuracy",
-        )
-        .orderBy("field")
-    )
+    from .operators.metrics import accuracy_rollup
+
+    return accuracy_rollup(j.select("field", ok.alias("ok")))
 
 
 def train_test_split_by_doc(
@@ -191,14 +192,15 @@ def confirm_documents(
     case-folded last-name match, street-abbreviation-normalized
     address match → ``n_matches``, ``decision`` yes/no, ``confidence``
     and ``explanation`` — the service's response dict as columns."""
-    from .plans.extract_plans import _norm_addr, _norm_first
-
     def m(cond: Column) -> Column:
         return F.coalesce(cond.cast("int"), F.lit(0))
 
-    fm = m(_norm_first(F.col(doc_first)) == _norm_first(F.col(sor_first)))
+    fm = m(N.normalize_first_name(F.col(doc_first)) == N.normalize_first_name(F.col(sor_first)))
     lm = m(F.lower(F.trim(F.col(doc_last))) == F.lower(F.trim(F.col(sor_last))))
-    am = m(_norm_addr(F.col(doc_addr)) == _norm_addr(F.col(sor_addr)))
+    am = m(
+        N.normalize_street_address(F.col(doc_addr))
+        == N.normalize_street_address(F.col(sor_addr))
+    )
     n = fm + lm + am
     explanation = F.concat_ws(
         "; ",

@@ -178,3 +178,37 @@ def split_combined_label(s: Column) -> tuple[Column, Column]:
     """Codec split (Neww_Fai.py:1083-1092)."""
     parts = F.split(s, ":")
     return parts.getItem(0), parts.getItem(1)
+
+
+# ---------------------------------------------------------------------------
+# Person/address matching normalizers (SoR confirmation, conf_5_22.py)
+# ---------------------------------------------------------------------------
+
+#: canonical nickname → first-name map (conf_5_22.py nickname rule)
+NICKNAME_MAP = {
+    "bill": "william",
+    "bob": "robert",
+    "liz": "elizabeth",
+    "peggy": "margaret",
+    "jack": "john",
+}
+
+
+def normalize_first_name(c: Column) -> Column:
+    """Nickname-canonicalizing first-name normalizer: lower/trim, then
+    map known nicknames to canonical firsts (conf_5_22.py)."""
+    nick_map = F.create_map(
+        *[F.lit(x) for pair in NICKNAME_MAP.items() for x in pair]
+    )
+    t = F.lower(F.trim(c))
+    return F.coalesce(F.element_at(nick_map, t), t)
+
+
+def normalize_street_address(c: Column) -> Column:
+    """Street-abbreviation normalizer (St↔Street, Ave↔Avenue, Rd↔Road)
+    + whitespace collapse — key_validation_4_17.py:17-27 rules."""
+    t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    t = F.regexp_replace(t, r"\bstreet\b", "st")
+    t = F.regexp_replace(t, r"\bavenue\b", "ave")
+    t = F.regexp_replace(t, r"\broad\b", "rd")
+    return t

@@ -81,9 +81,11 @@ def extract_fields(
     instead (explicit key, never positional — SURVEY §2.3)."""
     by_name = {f.name: f for f in df.schema.fields}
     schema_fields = [by_name[id_col]] + [by_name[c] for c in passthrough]
+    # Backtick-quote every name: doc-type fields like 'Bill Date'
+    # contain spaces, which unquoted DDL rejects.
     schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in schema_fields]
-        + [f"{c} string" for c in patterns]
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in schema_fields]
+        + [f"`{c}` string" for c in patterns]
     )
     fn = make_regex_extractor(
         patterns, id_col=id_col, text_col=text_col, passthrough=passthrough

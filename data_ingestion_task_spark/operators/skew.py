@@ -28,9 +28,18 @@ def salted_join(
 
     ``big_row_key`` must be any column that varies within a key group
     (a row id) — its hash picks the salt deterministically. Result is
-    row-identical to ``big.join(small, key, how)``."""
+    row-identical to ``big.join(small, key, how)`` for the supported
+    join types: inner and left (big-side-preserving). Right/full outer
+    are rejected — the replicated small side would emit one
+    null-extended row per unmatched salt replica."""
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: the "
+            "small side is replicated per salt, so right/full outer would "
+            "produce spurious null-extended rows for unmatched replicas"
+        )
     salt = F.pmod(F.xxhash64(F.col(big_row_key)), F.lit(n_salts))
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import normalize as N
 from ..operators.extract import extract_fields
+from ..operators.metrics import accuracy_rollup
 from ..operators.schemas import (
     CREDIT_CARD_FIELDS,
     INVOICE_FIELDS,
@@ -230,21 +231,7 @@ def w2_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = flags.select(
         F.expr(f"stack({len(W2_FIELDS)}, {stack_args}) AS (field, ok)")
     )
-    return (
-        long.rollup("field")
-        .agg(
-            F.sum("ok").cast("bigint").alias("n_correct"),
-            F.count("*").alias("support"),
-            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
-        )
-        .select(
-            F.coalesce(F.col("field"), F.lit("Overall")).alias("field"),
-            "n_correct",
-            "support",
-            "accuracy",
-        )
-        .orderBy("field")
-    )
+    return accuracy_rollup(long)
 
 
 # ---------------------------------------------------------------------------
@@ -551,18 +538,4 @@ def pbst_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stack_args = ", ".join(f"'{f}', ok_{f}" for f in PBST_FIELDS)
     long = flags.select(F.expr(f"stack({len(PBST_FIELDS)}, {stack_args}) AS (field, ok)"))
-    return (
-        long.rollup("field")
-        .agg(
-            F.sum("ok").cast("bigint").alias("n_correct"),
-            F.count("*").alias("support"),
-            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
-        )
-        .select(
-            F.coalesce(F.col("field"), F.lit("Overall")).alias("field"),
-            "n_correct",
-            "support",
-            "accuracy",
-        )
-        .orderBy("field")
-    )
+    return accuracy_rollup(long)

@@ -163,21 +163,9 @@ def extraction_e2e_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'total_due', f_money, 'vendor_name', f_vendor) AS (field, ok)"
         )
     )
-    return (
-        long.rollup("field")
-        .agg(
-            F.sum("ok").alias("n_correct"),
-            F.count("*").alias("support"),
-            F.round(F.sum("ok").cast("double") / F.count("*"), 6).alias("accuracy"),
-        )
-        .select(
-            F.coalesce(F.col("field"), F.lit("Overall")).alias("field"),
-            "n_correct",
-            "support",
-            "accuracy",
-        )
-        .orderBy("field")
-    )
+    from ..operators.metrics import accuracy_rollup
+
+    return accuracy_rollup(long)
 
 
 # ---------------------------------------------------------------------------
@@ -195,24 +183,10 @@ def _pick(items: list[str], idx: Column) -> Column:
     return F.element_at(F.array(*[F.lit(x) for x in items]), (idx % len(items) + 1).cast("int"))
 
 
-def _norm_first(c: Column) -> Column:
-    """Nickname-canonicalizing name normalizer (conf_5_22.py nickname
-    rule): lower/trim, then map known nicknames to canonical firsts."""
-    nick_map = F.create_map(
-        *[F.lit(x) for pair in zip(NICKS, FIRSTS) for x in (pair[0].lower(), pair[1].lower())]
-    )
-    t = F.lower(F.trim(c))
-    return F.coalesce(F.element_at(nick_map, t), t)
-
-
-def _norm_addr(c: Column) -> Column:
-    """Street-abbreviation normalizer (St↔Street, Ave↔Avenue, Rd↔Road)
-    + whitespace collapse — key_validation_4_17.py:17-27 rules."""
-    t = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    t = F.regexp_replace(t, r"\bstreet\b", "st")
-    t = F.regexp_replace(t, r"\bavenue\b", "ave")
-    t = F.regexp_replace(t, r"\broad\b", "rd")
-    return t
+# Canonical matching normalizers live in functions/normalize.py
+# (NICKNAME_MAP matches the FIRSTS/NICKS scenario lists above).
+_norm_first = N.normalize_first_name
+_norm_addr = N.normalize_street_address
 
 
 @query(
@@ -253,19 +227,21 @@ def sor_confirmation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc_addr = F.concat(house, F.lit(" "), doc_street)  # null street → null addr
 
-    def m(cond: Column) -> Column:
-        return F.coalesce(cond.cast("int"), F.lit(0))
+    from ..api import confirm_documents  # lazy: api is the facade layer
 
-    n_matches = (
-        m(_norm_first(doc_first) == _norm_first(sor_first))
-        + m(F.lower(F.trim(doc_last)) == F.lower(F.trim(sor_last)))
-        + m(_norm_addr(doc_addr) == _norm_addr(sor_addr))
-    )
-    return c.select(
+    frame = c.select(
         "c_custkey",
-        n_matches.alias("n_matches"),
-        F.when(n_matches >= 2, F.lit("yes")).otherwise(F.lit("no")).alias("decision"),
-    ).orderBy("c_custkey")
+        doc_first.alias("doc_first"),
+        doc_last.alias("doc_last"),
+        doc_addr.alias("doc_addr"),
+        sor_first.alias("sor_first"),
+        sor_last.alias("sor_last"),
+        sor_addr.alias("sor_addr"),
+    )
+    confirmed = confirm_documents(
+        frame, "doc_first", "doc_last", "doc_addr", "sor_first", "sor_last", "sor_addr"
+    )
+    return confirmed.select("c_custkey", "n_matches", "decision").orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------

@@ -26,9 +26,14 @@ def default_fetcher(url: str, timeout_s: float = 10.0) -> str:
 def extract_by_class(html: str, css_class: str) -> list[str]:
     """All text contents of elements carrying ``css_class``
     (the soup.find_all(class_=...) pattern), tags stripped,
-    whitespace collapsed."""
+    whitespace collapsed. Handles double- or single-quoted class
+    attributes. Known limit of regex extraction: an element nesting a
+    child of the SAME tag truncates at the child's close tag — the
+    reference's flat address listings don't do that; bring a real
+    parser for arbitrary HTML."""
+    cls = re.escape(css_class)
     pat = re.compile(
-        rf"<(\w+)[^>]*\bclass=\"[^\"]*\b{re.escape(css_class)}\b[^\"]*\"[^>]*>(.*?)</\1>",
+        rf"<(\w+)[^>]*\bclass=(?:\"[^\"]*\b{cls}\b[^\"]*\"|'[^']*\b{cls}\b[^']*')[^>]*>(.*?)</\1>",
         re.S,
     )
     out = []

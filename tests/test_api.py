@@ -106,3 +106,38 @@ def test_scrape_addresses_with_fake_fetcher(spark):
     df = scrape_addresses(spark, "https://example.test", fetcher=lambda u: html)
     got = sorted(r["address"] for r in df.collect())
     assert got == ["12 Maple Street, Carrollton TX", "9 Oak Avenue"]
+
+
+def test_extract_documents_invoice_spaced_field_names(spark):
+    # 'Bill Date' etc. contain spaces — the DDL schema must quote them
+    docs = spark.createDataFrame(
+        [(1, "Bill Date: 01/05/2024\nTotal Due: $3.00\nInvoice Number: X9")],
+        "doc_id bigint, text string",
+    )
+    row = api.extract_documents(docs, "invoice").collect()[0]
+    assert row["Invoice Number"] == "X9"
+    assert row["Total Due"] == "$3.00"
+
+
+def test_extract_documents_w2_money_boxes_normalized(spark):
+    docs = spark.createDataFrame(
+        [(1, "BOX1_WAGES: (100.00)\nBOX3_SS_WAGE: 200.00-\nBOX7_ALLOCATED_TIPS: 3.00 CR")],
+        "doc_id bigint, text string",
+    )
+    row = api.extract_documents(docs, "w2").collect()[0]
+    assert row["BOX1_WAGES"] == "-$100.00"
+    assert row["BOX3_SS_WAGE"] == "-$200.00"   # 'wage' singular matched
+    assert row["BOX7_ALLOCATED_TIPS"] == "-$3.00"  # 'tips' matched
+
+
+def test_classify_documents_string_doc_ids(spark):
+    # hash-based chunk ids: non-integral doc ids must work
+    idx = spark.createDataFrame(
+        [("a1", "alpha beta gamma delta", "L1"), ("b2", "epsilon zeta eta theta", "L2")],
+        "doc_id string, text string, label string",
+    )
+    q = spark.createDataFrame([("q1", "alpha beta gamma")], "doc_id string, text string")
+    preds = api.classify_documents(q, idx, k=1)
+    rows = preds.collect()
+    assert len(rows) == 1 and rows[0]["pred_label"] in ("L1", "L2")
+    api.release(preds)

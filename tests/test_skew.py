@@ -56,3 +56,12 @@ def test_outer_join_and_validation(spark, skewed_pair):
     assert salted.count() == plain.count()
     with pytest.raises(ValueError, match="n_salts"):
         salted_join(big, small, "label", big_row_key="row_id", n_salts=0)
+
+
+def test_salted_join_rejects_outer():
+    import pytest as _pytest
+
+    from data_ingestion_task_spark.operators.skew import salted_join
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(None, None, "k", big_row_key="r", how="full")
