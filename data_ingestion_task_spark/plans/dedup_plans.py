@@ -470,15 +470,24 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → canonical-document election (keep min id
     per cluster) — what a training-data pipeline actually deletes by.
 
-    Components via min-label propagation: every doc starts labeled
-    with itself; each round takes min(own label, neighbors' labels);
-    fixpoint in O(component diameter) rounds — duplicate clusters are
-    near-cliques (every member collides in some band with most
-    others), so diameter is 1-2 and the loop exits after ~3 rounds.
-    Convergence is detected by the monotone sum of labels. At 1000×
-    scale the same loop holds (each round = one shuffle of the edge
-    list); for graphs with LONG chains swap in the two-phase
-    large-star/small-star iteration — duplicate graphs aren't that.
+    Components via min-label propagation, structured for Spark's
+    job-scheduling economics rather than a literal per-round loop:
+
+    * Docs touching no edge are singleton clusters by construction —
+      they bypass propagation entirely (at real dedup rates that is
+      90%+ of the corpus excluded from every iteration shuffle).
+    * Duplicate clusters are near-cliques (every member collides in
+      some band with most others), so diameter is 1-2 and min-label
+      propagation converges in <=3 rounds. Those rounds are UNROLLED
+      into one declarative plan — Catalyst pipelines the 4 join+agg
+      levels into a single job, so the typical case pays ONE driver
+      round-trip (the convergence check) instead of one per round.
+    * If the check finds unconverged labels (a long chain — not a
+      duplicate-graph shape, but correctness must not assume), it
+      falls back to the classic persist-per-round loop from the
+      unrolled state. Each round is one shuffle of the edge list, so
+      the 1000x-scale story is unchanged; for adversarial chain
+      graphs swap in two-phase large-star/small-star.
 
     Output: every corpus doc with its cluster id, cluster size, and
     whether it is the cluster's canonical representative."""
@@ -487,44 +496,64 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    cached = [edges]
+    # Materialize the edge cache BEFORE building the unrolled plan:
+    # it is referenced from 6 sibling stages below, and un-filled
+    # lazy caches would recompute the MinHash pipeline concurrently.
+    edges.count()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    cached = [edges, labels]
-    for _round in range(20):
+    def step(labels: DataFrame) -> DataFrame:
+        """One min-label round; carries the previous label as `prev`
+        so convergence is checked from the same materialization."""
         neigh = (
-            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            edges.join(labels.select(F.col("doc_id").alias("b"), "cluster_id"), "b")
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
-            .persist()
+        return labels.join(neigh, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("prev"),
+            F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
         )
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+
+    # Only docs that appear in an edge participate in propagation.
+    connected = edges.select(F.col("a").alias("doc_id")).distinct()
+    labels = connected.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(4):  # 3 propagation rounds + 1 convergence probe
+        labels = step(labels)
+    labels = labels.persist()
+    cached.append(labels)
+    # One driver round-trip certifies the fixpoint for the whole plan.
+    changed = labels.filter(F.col("prev") != F.col("cluster_id")).count()
+    for _round in range(20):
+        if changed == 0:
+            break
+        new_labels = step(labels.select("doc_id", "cluster_id")).persist()
+        changed = new_labels.filter(F.col("prev") != F.col("cluster_id")).count()
         labels.unpersist()
         cached.remove(labels)
         labels = new_labels
         cached.append(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
 
     w = Window.partitionBy("cluster_id")
-    result = (
-        labels.select(
-            "doc_id",
-            "cluster_id",
-            F.count("*").over(w).cast("bigint").alias("cluster_size"),
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
+    clustered = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+    # Singletons never enter the loop or the window shuffle: cluster
+    # of themselves, size 1, trivially canonical. A singleton's id
+    # can't collide with a connected component's id (component ids
+    # are mins over edge-touching docs), so the union is disjoint.
+    singletons = docs.join(connected, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        F.lit(True).alias("is_canonical"),
+    )
+    result = clustered.unionByName(singletons).orderBy("doc_id")
     result._cached_deps = cached + getattr(pairs, "_cached_deps", [])
     return result
