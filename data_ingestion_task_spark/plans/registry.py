@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import hashlib
+import inspect
+import json
+import os
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -67,6 +71,25 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL twin; None → driver does rows-only check
     doc: str = ""
+    content_hash: str = ""  # sha256 of (fn source, oracle) at registration
+
+
+def _content_hash(fn: Callable, oracle: str | None) -> str:
+    """Fingerprint of a query's observable definition: its function
+    source (decorators included) + oracle SQL. Any edit to either makes
+    the query sort back into the driver's bounded check prefix (see
+    ``_ordered_names``). Helper-function edits are NOT captured — when
+    a shared helper changes semantics, evict its dependents from
+    ``driver_checked.json`` via ``tools/record_driver_check.py --evict``."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # REPL-defined fn: treat as always-changed
+        src = ""
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\0")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -87,7 +110,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
                 spark.conf.set(k, v)
             return fn(spark, sf_dir)
 
-        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=wrapped,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            content_hash=_content_hash(fn, oracle),
+        )
         return wrapped
 
     return deco
@@ -120,45 +149,50 @@ def load_all() -> None:
     _LOADED = True
 
 
-#: Names surfaced FIRST in ``queries_dict``/``oracle_dict``. The
-#: external correctness harness verifies a bounded prefix of the dict
-#: (round 1 checked exactly the first 50 of 70), so order queries by
-#: certification value: queries whose oracle or implementation changed
-#: since the last check, then queries never yet checked, then the
-#: long-stable remainder in registration order. Every name listed here
-#: must exist in the registry (asserted below) so renames fail loudly.
-DRIVER_PRIORITY: list[str] = [
-    # Changed since their last driver check (oracle BIGINT casts /
-    # single-pass ECE rewrite / SoR facade refactor) — recheck first.
-    "field_accuracy_rollup", "confusion_matrix", "doc_level_accuracy",
-    "events_sessionization", "events_props_extract", "json_repair_extract",
-    "json_repair_udf_recover", "extraction_e2e_accuracy",
-    "centroid_classifier_eval", "multimodal_blob_profile", "knn_label_vote",
-    "ece_calibration", "sor_confirmation",
-    # New this round — never driver-checked.
-    "w2_extraction_e2e", "invoice_scaffold_parse", "credit_card_txn_parse",
-    "pbst_extraction_e2e", "text_knn_classify", "text_knn_classify_accuracy",
-    "combined_head_eval", "dedup_cluster_canonical", "query_expansion",
-    "dropna_filter", "random_sample_n", "approx_distinct_tolerance",
-    "term_doc_frequency", "doc_length_histogram",
-    # Registered in round 1 but beyond the round-1 check prefix.
-    "value_counts", "grouped_nunique", "describe_stats", "range_filter",
-    "conditional_update", "dim_join_rollup", "anti_join_customers",
-    "zip_join_alignment", "union_by_name", "top_orders_per_customer",
-    "page_numbering", "pivot_status_counts", "balanced_label_sample",
-    "group_train_test_split", "distinct_two_stage", "doc_ingest_profile",
-    "chunk_explode", "doc_truncation", "token_stats", "doc_fingerprint",
-    # Flagship scale operators — keep inside every check window.
-    "dedup_minhash_lsh", "embedding_near_dup", "knn_cosine_topk",
-]
+#: Ledger of queries certified by an external driver check: maps query
+#: name -> content hash (``QuerySpec.content_hash``) at the time the
+#: driver last verified it green. Maintained ONLY by
+#: ``tools/record_driver_check.py`` from CORRECTNESS_r*.json artifacts
+#: — never hand-curated. A query whose current hash differs from (or is
+#: absent in) the ledger is UNCERTIFIED and sorts first so the driver's
+#: bounded check prefix always covers changed-or-new queries before the
+#: long-stable remainder.
+CHECKED_LEDGER_PATH = os.path.join(os.path.dirname(__file__), "driver_checked.json")
+
+
+def checked_ledger() -> dict[str, str]:
+    try:
+        with open(CHECKED_LEDGER_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def uncertified_names() -> list[str]:
+    """Registered queries whose current definition was never verified
+    by a driver check (new, or edited since their last green check), in
+    registration order."""
+    load_all()
+    ledger = checked_ledger()
+    return [n for n, spec in REGISTRY.items() if ledger.get(n) != spec.content_hash]
 
 
 def _ordered_names() -> list[str]:
+    """Uncertified queries first (registration order), then certified
+    ones (registration order). This is the single ordering rule — no
+    hand-picked priority list. The external harness checks a bounded
+    prefix of this dict, so the invariant this enforces is: nothing
+    changed-since-last-check can rotate out of the checked window."""
     load_all()
-    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
-    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
-    tail = [n for n in REGISTRY if n not in set(DRIVER_PRIORITY)]
-    return DRIVER_PRIORITY + tail
+    ledger = checked_ledger()
+    stale = [n for n in ledger if n not in REGISTRY]
+    assert not stale, (
+        f"driver_checked.json names no longer registered: {stale} — "
+        "rerun tools/record_driver_check.py or remove them"
+    )
+    first = [n for n, spec in REGISTRY.items() if ledger.get(n) != spec.content_hash]
+    rest = [n for n, spec in REGISTRY.items() if ledger.get(n) == spec.content_hash]
+    return first + rest
 
 
 def queries_dict() -> dict[str, QueryFn]:

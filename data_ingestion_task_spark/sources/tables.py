@@ -40,10 +40,15 @@ def load_table(
 ) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projection into it.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which the
-    Spark reader rejects; read nanos as long and convert with integer
-    ``div`` (epoch-nanos exceed 2^53 — double math would corrupt the
-    low bits).
+    ``events.ts`` normalization: the generator has shipped the column
+    as parquet TIMESTAMP(NANOS) (which the Spark reader rejects — read
+    nanos as long, integer ``div``; epoch-nanos exceed 2^53 so double
+    math would corrupt low bits) and as TIMESTAMP(µs, no tz) (which
+    Spark reads as TIMESTAMP_NTZ — rejected by ``withWatermark`` and
+    event-time windows). Both land on TIMESTAMP_LTZ here; the session
+    TZ is pinned to UTC (session.py / registry.PINNED_CONF) so the
+    NTZ→LTZ cast is value-identical and matches DuckDB reading the
+    same file.
 
     ``split=True``: round-robin repartition to the session's
     parallelism before a COMPUTE-HEAVY narrow stage (md5/regex per
@@ -56,8 +61,11 @@ def load_table(
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     if split:

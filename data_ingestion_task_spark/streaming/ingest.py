@@ -108,9 +108,16 @@ def start_document_ingest(
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling window counts with late-data watermark —
     the streaming twin of plans/events_plans.events_tumbling_window
-    (identical grouping expression)."""
+    (identical grouping expression).
+
+    ``ts`` is normalized to TIMESTAMP_LTZ first: watermarks reject
+    TIMESTAMP_NTZ, and parquet written without a timezone reads back as
+    NTZ (see sources/tables.load_table). The cast is a no-op when the
+    input is already LTZ, and value-identical under the engine's pinned
+    UTC session timezone."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(

@@ -62,6 +62,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return errs
     s, o = canon(sdf), canon(odf)
+
+    def bitwise_pair(a, b) -> bool:
+        # Exactness for the NOTE counter: NULL==NULL and NaN==NaN count
+        # as exact (both engines emitted null; pandas renders nullable
+        # ints as float64 NaN — a tool-local artifact, not divergence).
+        if a is None and b is None:
+            return True
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+        return type(a) is type(b) and a == b
+
     exact = 0
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
@@ -69,8 +82,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         if bad:
             i, a, b = bad[0]
             errs.append(f"col {c}: {len(bad)}/{len(sv)} mismatches, first at row {i}: {a!r} vs {b!r}")
-        sv2 = [a for a in sv if a == a or not isinstance(a, float)]
-        if sv == ov:
+        if all(bitwise_pair(a, b) for a, b in zip(sv, ov)):
             exact += 1
     if not errs and exact < len(s.columns):
         errs.append(f"NOTE: only {exact}/{len(s.columns)} columns bitwise-exact (within-tol pass)")

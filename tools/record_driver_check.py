@@ -1,0 +1,85 @@
+"""Maintain the driver-check ledger (plans/driver_checked.json).
+
+The query registry orders its output so that UNCERTIFIED queries —
+never driver-checked, or edited since their last green check — sort
+before everything else (registry._ordered_names). This tool is the
+ONLY writer of the ledger backing that rule:
+
+  python tools/record_driver_check.py CORRECTNESS_rN.json
+      Record the CURRENT content hash for every query the artifact
+      shows fully green (rows+schema+hash for oracled queries;
+      rows-only queries need rows_match). MUST be run at round start,
+      BEFORE any source edits — the hash recorded must be the hash of
+      the source the driver actually checked. If sources were already
+      edited, pass --only with the names still untouched, or skip
+      those names entirely (they simply stay uncertified — safe).
+
+  python tools/record_driver_check.py --evict NAME [NAME...]
+      Remove names from the ledger. Use when a SHARED HELPER a query
+      depends on changed semantics (content hashes cover only the
+      query fn + oracle, not helpers), so dependents must re-enter
+      the check window.
+
+Safety direction: a wrongly-ABSENT ledger entry only costs a redundant
+re-check; a wrongly-PRESENT one hides a changed query from the driver
+— so every ambiguous case here resolves to "leave uncertified".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from data_ingestion_task_spark.plans import registry
+
+    registry.load_all()
+    ledger = registry.checked_ledger()
+
+    args = sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+
+    if args[0] == "--evict":
+        for name in args[1:]:
+            if ledger.pop(name, None) is not None:
+                print(f"evicted {name}")
+            else:
+                print(f"not in ledger: {name}")
+    else:
+        path = args[0]
+        only = set(args[args.index("--only") + 1 :]) if "--only" in args else None
+        with open(path) as f:
+            results = json.load(f)
+        for name, res in results.items():
+            if only is not None and name not in only:
+                continue
+            spec = registry.REGISTRY.get(name)
+            if spec is None:
+                print(f"skip {name}: not registered")
+                continue
+            green = bool(res.get("rows_match")) and not res.get("err")
+            if spec.oracle is not None:
+                green = green and bool(res.get("schema_match")) and bool(res.get("hash_match"))
+            if green:
+                ledger[name] = spec.content_hash
+                print(f"certified {name}")
+            else:
+                ledger.pop(name, None)
+                print(f"NOT green, evicted if present: {name}")
+
+    with open(registry.CHECKED_LEDGER_PATH, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        f.write("\n")
+    uncert = registry.uncertified_names()
+    print(f"\nledger: {len(ledger)} certified; {len(uncert)} uncertified -> sort first")
+    print("uncertified:", ", ".join(uncert))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
