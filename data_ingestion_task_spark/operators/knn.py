@@ -28,6 +28,29 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import dot, l2_normalize
 
+#: Default ceiling on index-side rows for the broadcast/exact path.
+#: Memory math: 1M rows x 384-dim float64 ≈ 3 GB materialized on the
+#: driver and each executor — the practical broadcast ceiling. Beyond
+#: this the exact path is the classic driver-OOM scale killer; callers
+#: hit :class:`BroadcastIndexTooLarge` instead and route to
+#: :func:`knn_join_lsh`/:func:`knn_join_ivf` (or use :func:`knn_topk`,
+#: which routes automatically).
+DEFAULT_MAX_INDEX_ROWS = 1_000_000
+
+
+class BroadcastIndexTooLarge(RuntimeError):
+    """Index side exceeds the broadcast cap for exact kNN."""
+
+    def __init__(self, n_seen: int, cap: int):
+        super().__init__(
+            f"exact-kNN index side exceeds the broadcast cap ({n_seen} > {cap} rows): "
+            "a driver collect at this size is the 100-TB scale killer. Use "
+            "knn_join_lsh/knn_join_ivf, or knn_topk(...) which routes by size, "
+            "or raise max_index_rows explicitly if the cluster can hold it."
+        )
+        self.n_seen = n_seen
+        self.cap = cap
+
 
 def hyperplane(bit: int, dim: int, salt: str = "lsh") -> list[float]:
     """Deterministic ±1 hyperplane: component i is +1 iff the md5-hash
@@ -65,6 +88,7 @@ def candidate_pairs_vectorized(
     margin: float = 1e-6,
     upper_triangle: bool = False,
     metric: str = "cosine",
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
 ) -> DataFrame:
     """Numpy-prefiltered candidate generation for brute-force cosine
     search: the (broadcast-sized) index becomes one float64 matrix on
@@ -96,7 +120,12 @@ def candidate_pairs_vectorized(
                 f"{col_} is {dt.simpleString()} — hash or index string ids first"
             )
 
-    rows = index_df.select(index_id, vec_col).collect()
+    # Size gate: collect through a limit of cap+1 so overflow is
+    # detected in the SAME job (no extra count() pass); below the cap
+    # the limit is a no-op and results are unchanged.
+    rows = index_df.select(index_id, vec_col).limit(max_index_rows + 1).collect()
+    if len(rows) > max_index_rows:
+        raise BroadcastIndexTooLarge(len(rows), max_index_rows)
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     bc = query_df.sparkSession.sparkContext.broadcast((ids, mat))
@@ -153,13 +182,16 @@ def knn_join_exact(
     vec_col: str = "embedding",
     prenormalized: bool = False,
     vectorized: bool = True,
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
 ) -> DataFrame:
     """Brute-force cosine top-k.
 
     Output: (query_id, rank, neighbor_id, sim). Ties broken by
     neighbor id → fully deterministic. The index side is broadcast —
     at cluster scale this is exact-kNN for dimension-table-sized
-    corpora; beyond that use :func:`knn_join_lsh`.
+    corpora; beyond ``max_index_rows`` it raises
+    :class:`BroadcastIndexTooLarge` instead of OOMing the driver —
+    route to :func:`knn_join_lsh` or use :func:`knn_topk`.
 
     ``vectorized=True`` (default) prefilters candidates with one BLAS
     matmul per Arrow batch (see :func:`candidate_pairs_vectorized`),
@@ -179,6 +211,7 @@ def knn_join_exact(
             index_id=index_id,
             vec_col=vec_col,
             k=k,
+            max_index_rows=max_index_rows,
         )
         pairs = cand.join(q, query_id).join(F.broadcast(x), index_id)
     else:
@@ -189,6 +222,41 @@ def knn_join_exact(
         pairs.select(query_id, index_id, sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def knn_topk(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "query_id",
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Size-routed top-k: exact broadcast brute force while the index
+    side fits the broadcast cap, deterministic-LSH approximate search
+    above it. This is the operator callers should default to — it
+    makes the scale decision explicit instead of trusting every call
+    site to know the index cardinality (VERDICT r2 perf finding).
+
+    The routing count is one cheap aggregate job over the (already
+    pruned: two columns) index side — negligible next to the join it
+    guards. Semantics: below the cap, results are identical to
+    :func:`knn_join_exact`; above it, identical to
+    :func:`knn_join_lsh` (approximate — recall tuned by ``n_bits``).
+    """
+    if index_df.count() <= max_index_rows:
+        return knn_join_exact(
+            index_df, query_df, k,
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
+            max_index_rows=max_index_rows,
+        )
+    return knn_join_lsh(
+        index_df, query_df, k, n_bits=n_bits, dim=dim,
+        query_id=query_id, index_id=index_id, vec_col=vec_col,
     )
 
 
