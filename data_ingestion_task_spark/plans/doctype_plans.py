@@ -539,3 +539,276 @@ def pbst_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"'{f}', ok_{f}" for f in PBST_FIELDS)
     long = flags.select(F.expr(f"stack({len(PBST_FIELDS)}, {stack_args}) AS (field, ok)"))
     return accuracy_rollup(long)
+
+
+# ---------------------------------------------------------------------------
+# Form 1008 (Mortgage Underwriting Transmittal Summary): 51 fields
+# ---------------------------------------------------------------------------
+
+_F1008_MONEY = [
+    "total_borrower_income", "sales_price", "rental_income_subject_property",
+    "net_rental_income_other_property", "loan_amount", "first_mortgage_pi",
+    "subordinate_liens_pi", "homeowner_insurance", "property_tax",
+    "mortgage_insurance", "association_dues_hoa", "total_monthly_payment",
+    "borrower_income_borrower1", "borrower_income_borrower2",
+    "borrower_income_borrower3", "borrower_income_borrower4",
+    "borrower_income_others", "other_monthly_payments",
+    "funds_to_close_verified", "funds_to_close_required",
+    "appraised_value", "subordinate_financing",
+]
+_F1008_RATES = [
+    "note_rate", "ltv", "cltv", "hcltv",
+    "qualifying_ratios_front_end_dti", "qualifying_ratios_back_end_dti",
+]
+#: Checkbox fields with their label sets (Form 1008's printed options;
+#: rule 4 of doc_8_19_1008_prom.py: multiple selections join '; ').
+_F1008_CHECKBOX = {
+    "property_type": ["1 unit", "2- to 4-units", "Condominium", "PUD",
+                      "Co-op", "Manufactured Housing"],
+    "occupancy_type": ["Primary Residence", "Second Home", "Investment Property"],
+    "loan_type": ["Conventional", "FHA", "VA", "USDA/RD"],
+    "loan_purpose": ["Purchase", "Cash-Out Refinance",
+                     "Limited Cash-Out Refinance", "Home Improvement"],
+    "lien_position": ["First Mortgage", "Second Mortgage"],
+    "escrow": ["Yes", "No"],
+    "borrower_self_employed": ["Yes", "No"],
+    "risk_assessment": ["Manual Underwriting", "AUS: DU", "AUS: LPA", "AUS: Other"],
+    "appraisal_type": ["Full Appraisal", "Drive-By", "AVM", "No Appraisal"],
+    "amortization_type": ["Fixed-Rate", "ARM", "Balloon", "Other"],
+    "project_class_fhlmc": ["Streamlined Review", "Established Project",
+                            "New Project", "Detached Project"],
+    "project_class_fnma": ["Type E", "Type P", "Type Q", "Type R",
+                           "Type S", "Type T"],
+}
+
+
+def _f1008_render_docs(supplier: "DataFrame") -> "DataFrame":
+    """supplier → synthetic Form-1008 OCR documents via one vectorized
+    Arrow stage. Rendering 51 fields as JVM column expressions breaks
+    whole-stage codegen (the generated method exceeds Janino's 64 KB
+    limit → per-task compile-fail + interpreted fallback, measured 26s
+    for 100 rows), so FIXTURE SYNTHESIS — not the extraction operator
+    under test — runs in Python. The residue rules here mirror
+    _f1008_ok_sql exactly; the DuckDB oracle derives expectations from
+    the residues independently, never from this renderer.
+
+    Output: doc_id, src_name, text, plus gt_<field> for the 12
+    checkbox fields (their GT is the rendered selection string itself;
+    all other GT is re-derived from doc_id as small typed JVM
+    expressions in the flags projection)."""
+    import pandas as pd
+
+    checkbox = list(_F1008_CHECKBOX.items())
+    gt_cols = [f"gt_{f}" for f, _ in checkbox]
+
+    from ..operators.schemas import FORM_1008_FIELDS
+
+    def render(batches):
+        from datetime import date, timedelta
+
+        aus_opts = ["Approve/Eligible", "Refer", "Approve/Ineligible"]
+        base = date(2024, 1, 1)
+
+        def fmt_date(d: date, dv: int) -> str:
+            if dv == 1:
+                return f"{d.strftime('%b')} {d.day}, {d.year}"
+            if dv == 2:
+                return d.strftime("%Y-%m-%d")
+            if dv == 3:
+                return "99/99/9999"
+            return d.strftime("%m/%d/%Y")
+
+        def money_raw(v: int, mv: int) -> str:
+            if mv == 1:
+                return f"(${v}.00)"
+            if mv == 2:
+                return f"{v}.00-"
+            if mv == 3:
+                return "N/A"
+            if mv == 4:
+                return f"${v:,}.00"
+            if mv == 5:
+                return f"{v}.00 CR"
+            return f"{v}.00"
+
+        for pdf in batches:
+            out = {"doc_id": [], "src_name": [], "text": []}
+            for g in gt_cols:
+                out[g] = []
+            for k, name in zip(pdf["s_suppkey"], pdf["s_name"]):
+                k = int(k)
+                lines = ["UNIFORM UNDERWRITING AND TRANSMITTAL SUMMARY (Form 1008)"]
+                vals: dict[str, str | None] = {}
+                for i, f in enumerate(_F1008_MONEY):
+                    vals[f] = money_raw((k % 8000) + i * 17 + 150, (k + i) % 6)
+                for i, f in enumerate(_F1008_RATES):
+                    cents = (k * 7 + i * 13) % 9000 + 100
+                    rstr = f"{cents // 100}.{cents % 100:02d}0"
+                    rv = (k + 100 + i) % 5
+                    vals[f] = "N/A" if rv == 2 else (rstr if rv == 0 else rstr + "%")
+                gts = {}
+                for i, (f, opts) in enumerate(checkbox):
+                    n = len(opts)
+                    cv = (k + 200 + i) % 4
+                    one = opts[(k + i) % n]
+                    if cv == 0:
+                        raw = one
+                    elif cv == 1:
+                        raw = one + "; " + opts[(k + i + 1) % n]
+                    elif cv == 2:
+                        raw = opts[(k + i + 2) % n]
+                    else:
+                        raw = None  # box left blank
+                    vals[f] = raw
+                    gts[f"gt_{f}"] = raw
+                ts_d = base + timedelta(days=k % 365)
+                vals["time_stamp"] = fmt_date(ts_d, (k + 1) % 7)
+                vals["document_date"] = fmt_date(ts_d + timedelta(days=3), (k + 4) % 7)
+                vals["representative_score"] = (
+                    "n/a" if k % 13 == 0 else str(300 + k % 550)
+                )
+                vals["months_reserves"] = str(k % 25)
+                vals["loan_term"] = "360 months"
+                vals["loan_number"] = f"LN{k:08d}"
+                vals["property_address"] = f"{k % 999 + 1} Elm Street, {name}"
+                vals["aus_recommendation"] = aus_opts[k % 3]
+                vals["appraisal_form_number"] = "FNMA-1004"
+                vals["fnma_project_id"] = f"PJ{k % 10000:04d}"
+                vals["project_name"] = f"Project {name}"
+                for f in FORM_1008_FIELDS:
+                    if vals[f] is not None:
+                        lines.append(f"{f}: {vals[f]}")
+                out["doc_id"].append(k)
+                out["src_name"].append(name)
+                out["text"].append("\n".join(lines))
+                for g in gt_cols:
+                    out[g].append(gts[g])
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, src_name string, text string, " + ", ".join(
+        f"`{g}` string" for g in gt_cols
+    )
+    return supplier.select("s_suppkey", "s_name").mapInPandas(render, schema)
+
+
+def _f1008_flags(extracted: "DataFrame") -> "DataFrame":
+    """ok_<field> flags: normalize the extracted raw strings and
+    compare against GT. Non-checkbox GT is re-derived from doc_id as
+    SMALL typed expressions (decimal/date/string — never the rendered
+    variant strings, which is what blew up codegen); checkbox GT rides
+    the Arrow stage as gt_<field> passthrough columns."""
+    k = F.col("doc_id")
+    flags = []
+    for i, f in enumerate(_F1008_MONEY):
+        v = ((k % 8000) + i * 17 + 150).cast("decimal(18,2)")
+        gt = F.when(((k + i) % 6).isin(1, 2, 5), -v).otherwise(v)
+        flags.append((N.money_decimal(F.col(f)) == gt, f))
+    for i, f in enumerate(_F1008_RATES):
+        cents = (k * 7 + i * 13) % 9000 + 100
+        gt = (cents.cast("decimal(9,3)") / 100).cast("decimal(9,3)")
+        normed = F.regexp_replace(F.col(f), r"[%\s]", "").try_cast("decimal(9,3)")
+        flags.append((normed == gt, f))
+    for f in _F1008_CHECKBOX:
+        flags.append((F.trim(F.col(f)) == F.col(f"gt_{f}"), f))
+    ts_d = F.date_add(F.lit("2024-01-01").cast("date"), (k % 365).cast("int"))
+    flags.append((N.parse_date_multi(F.col("time_stamp")) == ts_d, "time_stamp"))
+    flags.append(
+        (N.parse_date_multi(F.col("document_date")) == F.date_add(ts_d, 3), "document_date")
+    )
+    score_gt = (F.lit(300) + k % 550).cast("string")
+    flags.append(
+        (
+            F.nullif(
+                F.regexp_extract(F.col("representative_score"), r"^(\d{3})$", 1),
+                F.lit(""),
+            )
+            == score_gt,
+            "representative_score",
+        )
+    )
+    always = {
+        "months_reserves": (k % 25).cast("string"),
+        "loan_term": F.lit("360 months"),
+        "loan_number": F.concat(F.lit("LN"), F.lpad(k.cast("string"), 8, "0")),
+        "property_address": F.concat(
+            (k % 999 + 1).cast("string"), F.lit(" Elm Street, "), F.col("src_name")
+        ),
+        "aus_recommendation": F.element_at(
+            F.array(
+                F.lit("Approve/Eligible"), F.lit("Refer"), F.lit("Approve/Ineligible")
+            ),
+            (k % 3 + 1).cast("int"),
+        ),
+        "appraisal_form_number": F.lit("FNMA-1004"),
+        "fnma_project_id": F.concat(F.lit("PJ"), F.lpad((k % 10000).cast("string"), 4, "0")),
+        "project_name": F.concat(F.lit("Project "), F.col("src_name")),
+    }
+    for f, gt in always.items():
+        flags.append((F.trim(F.col(f)) == gt, f))
+    return extracted.select(
+        *[F.coalesce(c.cast("int"), F.lit(0)).alias(f"ok_{f}") for c, f in flags]
+    )
+
+
+def _f1008_ok_sql() -> str:
+    """Expected-correct residue per field, independently derived from
+    s_suppkey (oracle side of the variant machinery)."""
+    rows = []
+    for i, f in enumerate(_F1008_MONEY):
+        rows.append(
+            f"SELECT '{f}' AS field, CASE WHEN (s_suppkey + {i}) % 6 <> 3 THEN 1 ELSE 0 END AS ok FROM supplier"
+        )
+    for i, f in enumerate(_F1008_RATES):
+        rows.append(
+            f"SELECT '{f}', CASE WHEN (s_suppkey + {100 + i}) % 5 <> 2 THEN 1 ELSE 0 END FROM supplier"
+        )
+    for i, f in enumerate(_F1008_CHECKBOX):
+        rows.append(
+            f"SELECT '{f}', CASE WHEN (s_suppkey + {200 + i}) % 4 <> 3 THEN 1 ELSE 0 END FROM supplier"
+        )
+    rows.append("SELECT 'time_stamp', CASE WHEN (s_suppkey + 1) % 7 <> 3 THEN 1 ELSE 0 END FROM supplier")
+    rows.append("SELECT 'document_date', CASE WHEN (s_suppkey + 4) % 7 <> 3 THEN 1 ELSE 0 END FROM supplier")
+    rows.append("SELECT 'representative_score', CASE WHEN s_suppkey % 13 <> 0 THEN 1 ELSE 0 END FROM supplier")
+    for f in ["months_reserves", "loan_term", "loan_number", "property_address",
+              "aus_recommendation", "appraisal_form_number", "fnma_project_id",
+              "project_name"]:
+        rows.append(f"SELECT '{f}', 1 FROM supplier")
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "form1008_extraction_e2e",
+    oracle=f"""
+    WITH long AS ({_f1008_ok_sql()})
+    SELECT COALESCE(field, 'Overall') AS field,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           COUNT(*) AS support,
+           round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM long GROUP BY ROLLUP(field) ORDER BY field
+    """,
+)
+def form1008_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form-1008 51-field end-to-end (doc_8_19_1008_prom.py:1-77: the
+    Mortgage Underwriting Transmittal Summary schema — the last
+    reference extraction schema without a wired pipeline in r2):
+    render all 51 fields as anchored OCR lines with per-class
+    corruption residues (N/A money and rates, blank checkboxes,
+    corrupt dates, non-numeric credit score) → mapInPandas extraction
+    → per-class normalizers → typed-GT comparison → per-field accuracy
+    rollup with Overall. Two back-to-back narrow Arrow stages (render
+    is Python on purpose — see _f1008_render_docs), one rollup shuffle
+    on a 51-value key."""
+    from ..operators.schemas import FORM_1008_FIELDS
+
+    s = load_table(spark, sf_dir, "supplier", split=True)
+    docs = _f1008_render_docs(s)
+    gt_cols = tuple(f"gt_{f}" for f in _F1008_CHECKBOX)
+    extracted = extract_fields(
+        docs, line_patterns(FORM_1008_FIELDS), passthrough=("src_name", *gt_cols)
+    )
+    flags = _f1008_flags(extracted)
+    stack_args = ", ".join(f"'{f}', ok_{f}" for f in FORM_1008_FIELDS)
+    long = flags.select(
+        F.expr(f"stack({len(FORM_1008_FIELDS)}, {stack_args}) AS (field, ok)")
+    )
+    return accuracy_rollup(long)
