@@ -10,6 +10,7 @@ Doc types and citations:
 - Invoice — 9 fields (`code/python/privateb_4_8.py:35-45`)
 - Credit-card statement — 8 fields incl. a transactions ARRAY
   (`code/python/private_bb_4_2:30-63`)
+- Envelope To-address — 7 fields (`code/python/prompt.py:1-31`)
 - PBST bank statement — 10 fields + 3-column transactions table
   (`code/python/doc_8_14:66-131`)
 
@@ -83,6 +84,11 @@ CREDIT_CARD_FIELDS = [
 #   (private_bb_4_2:30-63 — Transaction_date / Vendor_name / Amount)
 
 CREDIT_CARD_TXN_FIELDS = ["Transaction_date", "Vendor_name", "Amount"]
+
+ENVELOPE_FIELDS = [
+    "Name", "Street Address or PO Box", "City", "State", "ZIP Code",
+    "Mail Code", "Business Group Name",
+]  # 7 (prompt.py:1-31 — To-address extraction; absent fields return "NULL")
 
 PBST_FIELDS = [
     "client_name", "account_number", "total_charges", "total_credits",

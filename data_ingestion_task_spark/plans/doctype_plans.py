@@ -812,3 +812,83 @@ def form1008_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({len(FORM_1008_FIELDS)}, {stack_args}) AS (field, ok)")
     )
     return accuracy_rollup(long)
+
+
+# ---------------------------------------------------------------------------
+# Envelope To-address: 7-field parse (prompt.py:1-31)
+# ---------------------------------------------------------------------------
+
+_ENV_STATES = ["IL", "CA", "TX", "NY", "WA"]
+
+
+@query(
+    "envelope_to_address_parse",
+    oracle="""
+    WITH raws AS (
+      SELECT c_custkey AS k,
+             ('0x' || substr(md5('env:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 4 AS v
+      FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_scaffolded,
+           CAST(SUM(CASE WHEN v <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(COUNT(DISTINCT CASE WHEN v <> 3 THEN k % 5 END) AS BIGINT) AS n_states,
+           CAST(SUM(CASE WHEN v <> 3 THEN 10000 + (k * 7) % 89999 ELSE 0 END) AS BIGINT) AS zip_sum,
+           CAST(SUM(CASE WHEN v <> 3 AND k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mail_codes
+    FROM raws
+    """,
+)
+def envelope_to_address_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope To-address 7-field extraction (prompt.py:1-31): model
+    JSON responses — clean / code-fenced / prose-wrapped / truncated by
+    hash residue, absent Mail Code and Business Group rendered as the
+    literal "NULL" per the prompt contract — parsed with the fixed
+    7-field StructType (invoice_scaffold_parse machinery); failures
+    become all-NULL scaffolds. The aggregate proves typed values
+    survive: ZIP sum as BIGINT, distinct two-letter states, and Mail
+    Code "NULL"-literal canonicalized to SQL NULL at the nullif edge
+    (the engine's NULL-the-string rule, SURVEY §2.7)."""
+    from ..functions.text import hash64
+    from ..operators.schemas import ENVELOPE_FIELDS
+
+    c = load_table(spark, sf_dir, "customer", split=True)
+    k = F.col("c_custkey")
+    st = F.element_at(F.array(*[F.lit(s) for s in _ENV_STATES]), (k % 5 + 1).cast("int"))
+    zipc = (F.lit(10000) + (k * 7) % 89999).cast("string")
+    street = F.when(
+        k % 6 == 0, F.concat(F.lit("PO Box "), F.lpad((k % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.concat((k % 999 + 1).cast("string"), F.lit(" Main St")))
+    mail_code = F.when(k % 3 == 0, F.concat(F.lit("MC-"), (k % 100).cast("string"))).otherwise(
+        F.lit("NULL")
+    )
+    biz = F.when(k % 4 == 0, F.lit("Treasury Ops")).otherwise(F.lit("NULL"))
+    payload = F.concat(
+        F.lit('{"Name": "'), F.col("c_name"),
+        F.lit('", "Street Address or PO Box": "'), street,
+        F.lit('", "City": "Springfield", "State": "'), st,
+        F.lit('", "ZIP Code": "'), zipc,
+        F.lit('", "Mail Code": "'), mail_code,
+        F.lit('", "Business Group Name": "'), biz,
+        F.lit('"}'),
+    )
+    v = hash64(F.concat(F.lit("env:"), k.cast("string"))) % 4
+    raw = (
+        F.when(v == 0, payload)
+        .when(v == 1, F.concat(F.lit("```json\n"), payload, F.lit("\n```")))
+        .when(v == 2, F.concat(F.lit("Extracted To address:\n"), payload))
+        .otherwise(F.substring(payload, 1, 30))  # truncated → scaffold
+    )
+    docs = c.select(k.alias("doc_id"), raw.alias("raw"))
+    parsed = parse_model_json(docs, ENVELOPE_FIELDS)
+    ok = ~F.col("parse_failed")
+    mail = F.nullif(F.col("parsed.`Mail Code`"), F.lit("NULL"))
+    return parsed.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("parse_failed").cast("int")).cast("bigint").alias("n_scaffolded"),
+        F.sum(ok.cast("int")).cast("bigint").alias("n_parsed"),
+        F.countDistinct(F.col("parsed.State")).cast("bigint").alias("n_states"),
+        F.sum(
+            F.coalesce(F.col("parsed.`ZIP Code`").try_cast("bigint"), F.lit(0))
+        ).cast("bigint").alias("zip_sum"),
+        F.sum((mail.isNotNull() & ok).cast("int")).cast("bigint").alias("n_mail_codes"),
+    )
