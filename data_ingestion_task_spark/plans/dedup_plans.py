@@ -217,6 +217,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join all branch from shl; an unmaterialized cache
     # makes those branches race to recompute every partition.
     sigs = _minhash_sigs(shl).persist()
+    sigs.count()  # same reasoning: the band self-join references sigs
+    # TWICE (aliases a/b); racing to fill the cache runs the 8×md5-
+    # per-shingle signature map twice.
     band_structs = F.array(
         *[
             F.concat(
@@ -470,32 +473,43 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → canonical-document election (keep min id
     per cluster) — what a training-data pipeline actually deletes by.
 
-    Components via min-label propagation, structured for Spark's
-    job-scheduling economics rather than a literal per-round loop:
+    Components via min-label propagation as a persist-per-round loop:
 
     * Docs touching no edge are singleton clusters by construction —
       they bypass propagation entirely (at real dedup rates that is
       90%+ of the corpus excluded from every iteration shuffle).
-    * Duplicate clusters are near-cliques (every member collides in
-      some band with most others), so diameter is 1-2 and min-label
-      propagation converges in <=3 rounds. Those rounds are UNROLLED
-      into one declarative plan — Catalyst pipelines the 4 join+agg
-      levels into a single job, so the typical case pays ONE driver
-      round-trip (the convergence check) instead of one per round.
-    * If the check finds unconverged labels (a long chain — not a
-      duplicate-graph shape, but correctness must not assume), it
-      falls back to the classic persist-per-round loop from the
-      unrolled state. Each round is one shuffle of the edge list, so
-      the 1000x-scale story is unchanged; for adversarial chain
-      graphs swap in two-phase large-star/small-star.
+    * Duplicate clusters are near-cliques, so diameter is 1-2 and
+      min-label propagation converges in <=3 rounds; the loop probes
+      convergence each round (the probe count doubles as the cache
+      materialization) and stops at the fixpoint.
+    * MEASURED (sf0.1, local[32]): a 4-round plan unrolled into one
+      job costs ~6.8s vs ~0.9s/round for this loop — AQE creates each
+      shuffle query-stage serially with a driver round-trip either
+      way, and the deep chained plan pays growing re-optimization on
+      top, so unrolling buys nothing. Each round is one shuffle of
+      the edge list → the 1000x story is per-round shuffle volume,
+      unchanged; for adversarial chain graphs swap in two-phase
+      large-star/small-star.
 
     Output: every corpus doc with its cluster id, cluster size, and
     whether it is the cluster's canonical representative."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = _corpus(spark, sf_dir).select("doc_id")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).persist()
+    # Symmetrize in ONE pass over the verified pairs: a union of pairs
+    # with its own swap would run the LSH candidate+verify join TWICE
+    # into the edge cache (measured ~2× the whole pipeline's cost).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
     cached = [edges]
     # Materialize the edge cache BEFORE building the unrolled plan:
     # it is referenced from 6 sibling stages below, and un-filled
@@ -521,19 +535,16 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only docs that appear in an edge participate in propagation.
     connected = edges.select(F.col("a").alias("doc_id")).distinct()
     labels = connected.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(4):  # 3 propagation rounds + 1 convergence probe
-        labels = step(labels)
-    labels = labels.persist()
-    cached.append(labels)
-    # One driver round-trip certifies the fixpoint for the whole plan.
-    changed = labels.filter(F.col("prev") != F.col("cluster_id")).count()
-    for _round in range(20):
+    changed = 1
+    for _round in range(24):  # converges in <=3 for duplicate graphs
         if changed == 0:
             break
         new_labels = step(labels.select("doc_id", "cluster_id")).persist()
+        # The convergence probe doubles as the cache materialization.
         changed = new_labels.filter(F.col("prev") != F.col("cluster_id")).count()
-        labels.unpersist()
-        cached.remove(labels)
+        if labels in cached:
+            labels.unpersist()
+            cached.remove(labels)
         labels = new_labels
         cached.append(labels)
 
