@@ -84,16 +84,27 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    trend = _trend_vs_previous_round(times, total, sf)
+    # Key order matters: the driver records a bounded TAIL of this
+    # line (round-2 artifact lost the whole queries map to front-
+    # truncation), so verbose trend data goes FIRST and the per-query
+    # times + headline metric go LAST where truncation can't reach.
     out = {
         "metric": "total_query_time",
-        "value": total,
         "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "n_queries": len(times),
         "warmup_sec": round(warmup, 3),
+        **trend,
+        "queries": times,
+        "n_queries": len(times),
+        "sf": sf,
+        "value": total,
     }
-    out.update(_trend_vs_previous_round(times, total, sf))
+    # Full artifact on disk regardless of stdout capture limits —
+    # committed per round so trends never need tail-scraping.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_out.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 
@@ -155,7 +166,8 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
                 "delta_total": round(total - prev_total, 3),
                 "new_queries": sorted(set(times) - set(pq)),
                 "regressions_ge_500ms": regressions,
-                "query_deltas": deltas,
+                # full query_deltas dropped: reconstructable from the
+                # queries maps, and the bulk risked truncating them.
             }
         }
     return {}
