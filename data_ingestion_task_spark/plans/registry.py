@@ -140,6 +140,7 @@ def load_all() -> None:
         ml_plans,
         multimodal_plans,
         normalize_plans,
+        pretrain_plans,
         refine_plans,
         relational_plans,
         text_plans,
