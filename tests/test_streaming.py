@@ -158,3 +158,34 @@ def test_deduped_ingest_drops_redelivered_docs(spark, sf_dir, tmp_path):
     q2 = start_deduped_ingest(spark, str(inbox), str(out), str(ckpt), schema)
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == n_unique
+
+
+def test_bounded_deduped_ingest_drops_dups_within_horizon(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark path: duplicated deliveries of the
+    same event_id inside the watermark horizon collapse to one row,
+    with state bounded by the horizon instead of all-history."""
+    from data_ingestion_task_spark.streaming.ingest import start_bounded_deduped_ingest
+
+    inbox = tmp_path / "ev_inbox"
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(500)
+    )
+    doubled = events.unionAll(events)  # re-delivered copies, same ts
+    doubled.write.parquet(str(inbox))
+    schema = spark.read.parquet(str(inbox)).schema
+
+    q = start_bounded_deduped_ingest(
+        spark,
+        str(inbox),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        schema,
+        dedup_cols=["event_id"],
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
