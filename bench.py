@@ -147,6 +147,12 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
             pq = {k: float(v) for k, v in pairs if k not in meta_keys}
         if not pq:
             continue
+        # A tail-scraped artifact can carry only a fragment of the real
+        # queries map (the r2 artifact kept 1 of 84) — comparing against
+        # a fragment yields nonsense totals/regressions. Require real
+        # overlap; otherwise fall back to an older, fuller artifact.
+        if len(set(times) & set(pq)) < max(10, len(times) // 2):
+            continue
         prev_total = prev.get("value") or (
             prev.get("parsed", {}) or {}
         ).get("value") or round(sum(pq.values()), 3)
@@ -159,11 +165,19 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
                 key=lambda kv: -kv[1],
             )
         )
+        common = set(times) & set(pq)
         return {
             "vs_prev": {
                 "prev_round": os.path.basename(path),
                 "prev_total": prev_total,
                 "delta_total": round(total - prev_total, 3),
+                # the honest trend: same-query totals this round vs prev
+                # (raw delta_total conflates growth of the query set).
+                "common_total": round(sum(times[n] for n in common), 3),
+                "common_prev_total": round(sum(pq[n] for n in common), 3),
+                "common_delta": round(
+                    sum(times[n] - pq[n] for n in common), 3
+                ),
                 "new_queries": sorted(set(times) - set(pq)),
                 "regressions_ge_500ms": regressions,
                 # full query_deltas dropped: reconstructable from the
