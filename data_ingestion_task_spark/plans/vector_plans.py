@@ -351,3 +351,121 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", F.col("rank").alias("rnk"), "neighbor_id", F.round("sim", 9).alias("sim")
     ).orderBy("query_id", "rnk")
+
+
+_RECALL_BITS = (2, 4)
+_RECALL_K = 3
+
+
+def _d_recall_branch(bits: int) -> str:
+    """One n_bits setting of the recall audit as a DuckDB SELECT."""
+    return f"""
+    SELECT {bits} AS n_bits,
+           (SELECT COUNT(*) FROM q0) AS n_queries,
+           CAST(CAST((SELECT COALESCE(SUM(c), 0) FROM (
+              SELECT COUNT(*) AS c FROM lp{bits} GROUP BY query_id)) AS DOUBLE)
+              / (SELECT COUNT(*) FROM q0) AS DOUBLE) AS avg_candidates,
+           CAST(CAST((SELECT COUNT(*) FROM lr{bits} l
+                      JOIN er e ON e.query_id = l.query_id
+                                AND e.neighbor_id = l.neighbor_id
+                      WHERE l.rnk <= {_RECALL_K} AND e.rnk <= {_RECALL_K}) AS DOUBLE)
+              / ({_RECALL_K} * (SELECT COUNT(*) FROM q0)) AS DOUBLE) AS recall_at_{_RECALL_K}
+    """
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_D_VNORM} AS v FROM embeddings
+    ),
+    q0 AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 25 = 0),
+    x0 AS (SELECT vec_id AS neighbor_id, v FROM n WHERE vec_id % 5 <> 0),
+    ep AS (SELECT q0.query_id, x0.neighbor_id, list_dot_product(q0.v, x0.v) AS sim
+           FROM q0 CROSS JOIN x0),
+    er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk FROM ep),
+    {", ".join(
+        f'''qs{b} AS (SELECT query_id, v, {_duck_lsh_bucket('v', b)} AS bucket FROM q0),
+    xs{b} AS (SELECT neighbor_id, v, {_duck_lsh_bucket('v', b)} AS bucket FROM x0),
+    lp{b} AS (SELECT qs{b}.query_id, xs{b}.neighbor_id,
+                     list_dot_product(qs{b}.v, xs{b}.v) AS sim
+              FROM qs{b} JOIN xs{b} USING (bucket)),
+    lr{b} AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM lp{b})'''
+        for b in _RECALL_BITS
+    )}
+    {" UNION ALL ".join(_d_recall_branch(b) for b in _RECALL_BITS)}
+    ORDER BY n_bits
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost audit of the approximate path — the measurement that
+    turns 'recall is tunable via n_bits' (ann_lsh_topk docstring) into
+    a number: for each LSH width, recall@{_RECALL_K} of the bucketed
+    search against the exact broadcast search, and the average number
+    of candidates each query actually examined (the cost knob). Fewer
+    bits → bigger buckets → higher recall and more candidates; this is
+    the nlist/nprobe-style tuning table an operator reads before
+    picking production parameters.
+
+    Queries whose bucket contains no index vector count as recall 0
+    (denominator is ALL queries) — silent-miss rates stay visible.
+    One exact pass is shared by every LSH branch.
+
+    NB on absolute values: the synthetic embeddings are near-isotropic
+    random vectors — the hardest case for hyperplane LSH — so recall
+    here reads low (~0.2-0.5). Real text embeddings cluster, which is
+    what bucketing exploits; the point of this query is the MECHANISM
+    (the recall/candidates tradeoff measured per setting), which is
+    data-independent."""
+    from pyspark.sql.window import Window
+
+    from ..operators.knn import lsh_signature
+
+    q, x = _split(spark, sf_dir)
+    # Audit on a deterministic 1-in-5 query sample (vec_id % 25): a
+    # recall estimate needs a sample, not the census — the full-corpus
+    # exact pass is exactly the cost ANN exists to avoid.
+    q = q.filter(F.col("query_id") % 25 == 0)
+    exact = knn_join_exact(
+        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=_RECALL_K
+    ).select("query_id", "neighbor_id")
+    n_queries = q.count()
+    rows = []
+    for bits in _RECALL_BITS:
+        sig_q = normalize_embeddings(q.select("query_id", "embedding")).select(
+            "query_id",
+            F.col("embedding").alias("_qv"),
+            lsh_signature(F.col("embedding"), bits, DIM).alias("bucket"),
+        )
+        sig_x = normalize_embeddings(x.select("neighbor_id", "embedding")).select(
+            "neighbor_id",
+            F.col("embedding").alias("_xv"),
+            lsh_signature(F.col("embedding"), bits, DIM).alias("bucket"),
+        )
+        pairs = sig_q.join(sig_x, "bucket").select(
+            "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        topk = (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _RECALL_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"]).count()
+        n_cand = pairs.count()
+        rows.append(
+            (
+                bits,
+                n_queries,
+                float(n_cand) / n_queries,
+                float(hits) / (_RECALL_K * n_queries),
+            )
+        )
+    return (
+        q.sparkSession.createDataFrame(
+            rows, f"n_bits bigint, n_queries bigint, avg_candidates double, recall_at_{_RECALL_K} double"
+        ).orderBy("n_bits")
+    )
