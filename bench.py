@@ -122,7 +122,13 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
         if m:  # ignore stray non-numbered artifacts
             numbered.append((int(m.group(1)), p))
     candidates = [p for _, p in sorted(numbered)]
-    meta_keys = {"value", "sf", "n_queries", "warmup_sec", "n", "rc", "cpus"}
+    meta_keys = {
+        "value", "sf", "n_queries", "warmup_sec", "n", "rc", "cpus",
+        # vs_prev numeric fields (current format puts vs_prev BEFORE
+        # queries — these must never be scraped as query times)
+        "prev_total", "delta_total", "common_total", "common_prev_total",
+        "common_delta",
+    }
     for path in reversed(candidates):
         try:
             with open(path) as f:
@@ -140,9 +146,15 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
                 pq = cand_obj["queries"]
                 break
         if pq is None and isinstance(prev.get("tail"), str):
-            # Scrape only the primary queries map: cut before vs_prev,
-            # whose query_deltas would otherwise shadow the real times.
-            tail = prev["tail"].split('"vs_prev"')[0]
+            # Scrape the primary queries map. Current format orders
+            # vs_prev BEFORE queries, so prefer everything after the
+            # "queries" marker; old-format artifacts (queries first,
+            # vs_prev last) fall back to cutting before vs_prev.
+            tail = prev["tail"]
+            if '"queries"' in tail:
+                tail = tail.split('"queries"', 1)[1]
+            else:
+                tail = tail.split('"vs_prev"')[0]
             pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9.]+)', tail)
             pq = {k: float(v) for k, v in pairs if k not in meta_keys}
         if not pq:

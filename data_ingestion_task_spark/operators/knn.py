@@ -215,6 +215,12 @@ def knn_join_exact(
         )
         pairs = cand.join(q, query_id).join(F.broadcast(x), index_id)
     else:
+        # Same size gate as the vectorized path (the pure-SQL branch
+        # JVM-broadcasts x): one bounded count refuses past the cap
+        # instead of OOMing the broadcast build.
+        n_seen = x.limit(max_index_rows + 1).count()
+        if n_seen > max_index_rows:
+            raise BroadcastIndexTooLarge(n_seen, max_index_rows)
         pairs = q.join(F.broadcast(x), F.lit(True))
     sim = dot(F.col("_qv"), F.col("_xv"))
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))

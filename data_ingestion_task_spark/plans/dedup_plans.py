@@ -493,7 +493,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: every corpus doc with its cluster id, cluster size, and
     whether it is the cluster's canonical representative."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    lsh_result = dedup_minhash_lsh(spark, sf_dir)
+    # Capture the upstream caching contract BEFORE .select(): DataFrame
+    # transformations return new objects without the _cached_deps
+    # Python attribute, so reading it off `pairs` would always be [].
+    upstream_deps = getattr(lsh_result, "_cached_deps", [])
+    pairs = lsh_result.select("doc_a", "doc_b")
     docs = _corpus(spark, sf_dir).select("doc_id")
     # Symmetrize in ONE pass over the verified pairs: a union of pairs
     # with its own swap would run the LSH candidate+verify join TWICE
@@ -566,5 +571,5 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_canonical"),
     )
     result = clustered.unionByName(singletons).orderBy("doc_id")
-    result._cached_deps = cached + getattr(pairs, "_cached_deps", [])
+    result._cached_deps = cached + upstream_deps
     return result

@@ -429,9 +429,19 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall estimate needs a sample, not the census — the full-corpus
     # exact pass is exactly the cost ANN exists to avoid.
     q = q.filter(F.col("query_id") % 25 == 0)
-    exact = knn_join_exact(
-        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=_RECALL_K
-    ).select("query_id", "neighbor_id")
+    # Persist the shared exact pass: both LSH branches join against it
+    # (two count() actions each) — unpersisted, the full brute-force
+    # plan would re-execute per action.
+    exact = (
+        knn_join_exact(
+            x.select("neighbor_id", "embedding"),
+            q.select("query_id", "embedding"),
+            k=_RECALL_K,
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()
     n_queries = q.count()
     rows = []
     for bits in _RECALL_BITS:
@@ -448,6 +458,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = sig_q.join(sig_x, "bucket").select(
             "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
         )
+        pairs = pairs.persist()  # hits + n_cand: two actions, one compute
         w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
         topk = (
             pairs.withColumn("rnk", F.row_number().over(w))
@@ -456,6 +467,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hits = topk.join(exact, ["query_id", "neighbor_id"]).count()
         n_cand = pairs.count()
+        pairs.unpersist()
         rows.append(
             (
                 bits,
@@ -464,6 +476,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(hits) / (_RECALL_K * n_queries),
             )
         )
+    exact.unpersist()  # result rows are already on the driver
     return (
         q.sparkSession.createDataFrame(
             rows, f"n_bits bigint, n_queries bigint, avg_candidates double, recall_at_{_RECALL_K} double"

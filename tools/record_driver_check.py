@@ -53,6 +53,28 @@ def main() -> int:
     else:
         path = args[0]
         only = set(args[args.index("--only") + 1 :]) if "--only" in args else None
+        # Enforce the 'run before any edits' precondition instead of
+        # trusting it: certifying from a dirty tree would stamp
+        # POST-edit hashes as driver-checked, re-opening exactly the
+        # changed-query-escapes-the-window hole the ledger closes.
+        if "--force" not in args:
+            import subprocess
+
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--", "data_ingestion_task_spark"],
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+            if dirty:
+                print(
+                    "REFUSING to certify: engine sources have uncommitted changes —\n"
+                    f"{dirty}\n"
+                    "the hashes recorded must be of the source the driver checked.\n"
+                    "Commit/stash first, or pass --force if the dirty files are\n"
+                    "provably unrelated to any query fn/oracle."
+                )
+                return 1
+        args = [a for a in args if a != "--force"]
         with open(path) as f:
             results = json.load(f)
         for name, res in results.items():
