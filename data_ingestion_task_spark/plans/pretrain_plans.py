@@ -281,3 +281,103 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_shingles") >= _CONTAM_MIN_HITS)
         .orderBy("doc_id", "bench_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel
+# ---------------------------------------------------------------------------
+
+_QF_MIN_WORDS, _QF_MAX_WORDS = 20, 100_000
+_QF_MIN_MWL, _QF_MAX_MWL = 2.0, 12.0
+_QF_MAX_SYMBOL_RATIO = 0.10
+_QF_STOPWORDS = ["the", "and", "of", "to", "in"]
+_QF_MIN_STOPWORDS = 2
+_QF_RULES = ["word_count", "mean_word_len", "symbol_ratio", "stopword_presence"]
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(str_split_regex(trim(text), '\\s+')) AS wc,
+             len(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+             len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS symbols,
+             {" + ".join(
+                 f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+                 for w in _QF_STOPWORDS
+             )} AS n_stop
+      FROM documents
+    ),
+    f AS (
+      SELECT CASE
+        WHEN wc < {_QF_MIN_WORDS} OR wc > {_QF_MAX_WORDS} THEN 1
+        WHEN CAST(nonspace AS DOUBLE) / wc < {_QF_MIN_MWL}
+          OR CAST(nonspace AS DOUBLE) / wc > {_QF_MAX_MWL} THEN 2
+        WHEN CAST(symbols AS DOUBLE) / greatest(nonspace, 1) > {_QF_MAX_SYMBOL_RATIO} THEN 3
+        WHEN n_stop < {_QF_MIN_STOPWORDS} THEN 4
+        ELSE 0 END AS ff
+      FROM m
+    )
+    SELECT rule, n_evaluated, n_failed, n_evaluated - n_failed AS n_passed
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT {i + 1} AS stage, '{r}' AS rule, "
+          f"CAST(SUM(CASE WHEN ff = 0 OR ff >= {i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_evaluated, "
+          f"CAST(SUM(CASE WHEN ff = {i + 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_failed FROM f"
+          for i, r in enumerate(_QF_RULES)
+      )}
+    ) ORDER BY stage
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality funnel: word-count bounds → mean
+    word length → symbol ratio → stopword presence, applied in order,
+    with per-rule evaluated/failed/passed accounting (first failing
+    rule claims the doc). This is the rejection report a corpus
+    curator reads to see WHICH rule eats the data — the per-rule
+    attribution the reference's ad-hoc notebook filters never had.
+
+    One narrow projection computes every signal from the text column
+    in a single pass (no per-rule scans), then one tiny conditional
+    aggregation — at 100 TB this is a map + one 4-row agg."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    wc = word_len(F.col("text"))
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    symbols = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_stop = None
+    for w in _QF_STOPWORDS:
+        c = padded.contains(f" {w} ").cast("int")
+        n_stop = c if n_stop is None else n_stop + c
+    mwl = nonspace.cast("double") / wc
+    ff = (
+        F.when((wc < _QF_MIN_WORDS) | (wc > _QF_MAX_WORDS), 1)
+        .when((mwl < _QF_MIN_MWL) | (mwl > _QF_MAX_MWL), 2)
+        .when(symbols.cast("double") / F.greatest(nonspace, F.lit(1)) > _QF_MAX_SYMBOL_RATIO, 3)
+        .when(n_stop < _QF_MIN_STOPWORDS, 4)
+        .otherwise(0)
+    )
+    marked = d.select(ff.alias("ff"))
+    aggs = []
+    for i, r in enumerate(_QF_RULES):
+        stage = i + 1
+        aggs.append(
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.sum(((F.col("ff") == 0) | (F.col("ff") >= stage)).cast("int"))
+                .cast("bigint")
+                .alias("n_evaluated"),
+                F.sum((F.col("ff") == stage).cast("int")).cast("bigint").alias("n_failed"),
+            ).alias(f"s{stage}")
+        )
+    row = marked.agg(*aggs)
+    stages = row.select(
+        F.explode(F.array(*[F.col(f"s{i + 1}") for i in range(len(_QF_RULES))])).alias("s")
+    )
+    return stages.select(
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_evaluated").alias("n_evaluated"),
+        F.col("s.n_failed").alias("n_failed"),
+        (F.col("s.n_evaluated") - F.col("s.n_failed")).alias("n_passed"),
+    )

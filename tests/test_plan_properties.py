@@ -73,3 +73,30 @@ def test_extraction_python_stage_is_single(plans):
     plan = plans("w2_extraction_e2e")
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_prunes_and_bounds_shuffles(plans):
+    plan = plans("sequence_packing")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    # bucket window + pack agg/order — never a global (single-partition)
+    # window over the corpus
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_mixture_sample_is_narrow_until_agg(plans):
+    plan = plans("mixture_weighted_sample")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+    # hash-residue filter is pure expression work: agg + order only
+    assert plan.count("Exchange") <= 2
+
+
+def test_contamination_broadcasts_benchmark_side(plans):
+    # the benchmark shingle side is small by nature — it must broadcast,
+    # and nothing may plan a cartesian product
+    plan = plans("benchmark_contamination")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
