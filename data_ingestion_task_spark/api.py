@@ -17,7 +17,7 @@ bigger plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -214,3 +214,24 @@ def confirm_documents(
         .withColumn("confidence", F.round(n.cast("double") / 3, 6))
         .withColumn("explanation", explanation)
     )
+
+
+def confirm_payload(spark: SparkSession, payload: dict) -> dict:
+    """The `/confirm-document` request handler minus the HTTP framing
+    (confirmation_service.py:61-124): one request dict in, the
+    decision/confidence/explanation response dict out, evaluated by
+    the SAME rule engine as the batch path (confirm_documents on a
+    one-row frame) so service and pipeline can never disagree.
+
+    Expected keys: doc_first, doc_last, doc_addr, sor_first, sor_last,
+    sor_addr (missing keys count as non-matches, like the reference's
+    absent fields). Mount behind any HTTP framework; the engine
+    deliberately ships no server (serving layer is out of scope,
+    SURVEY §2.9)."""
+    cols = ["doc_first", "doc_last", "doc_addr", "sor_first", "sor_last", "sor_addr"]
+    row = [tuple(payload.get(c) for c in cols)]
+    df = spark.createDataFrame(row, ", ".join(f"{c} string" for c in cols))
+    out = confirm_documents(df, *cols).select(
+        "decision", "confidence", "explanation", "n_matches"
+    ).collect()[0]
+    return out.asDict()

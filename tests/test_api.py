@@ -141,3 +141,19 @@ def test_classify_documents_string_doc_ids(spark):
     rows = preds.collect()
     assert len(rows) == 1 and rows[0]["pred_label"] in ("L1", "L2")
     api.release(preds)
+
+
+def test_confirm_payload_service_contract(spark):
+    from data_ingestion_task_spark.api import confirm_payload
+
+    yes = confirm_payload(spark, {
+        "doc_first": "Bob", "doc_last": "Smith", "doc_addr": "12 Main Street",
+        "sor_first": "Robert", "sor_last": "smith", "sor_addr": "12 Main St",
+    })
+    assert yes["decision"] == "yes" and yes["n_matches"] == 3
+    no = confirm_payload(spark, {
+        "doc_first": "Alice", "doc_last": "Jones", "doc_addr": "99 Elm Ave",
+        "sor_first": "Robert", "sor_last": "smith",  # sor_addr missing
+    })
+    assert no["decision"] == "no" and no["n_matches"] == 0
+    assert "first name differs" in no["explanation"]
