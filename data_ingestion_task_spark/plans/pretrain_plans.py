@@ -113,15 +113,18 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Target sampling rate per source (a training-mix recipe: keep all of
-#: scarce high-quality sources, downsample the abundant one).
+#: the high-quality sources, progressively downsample the rest). Keys
+#: are the corpus's actual source ids (src0..src19 in the testdata);
+#: in production this dict IS the mix recipe under review.
 MIXTURE_RATES: dict[str, float] = {
-    "web": 0.25,
-    "wiki": 1.0,
-    "books": 1.0,
-    "news": 0.5,
-    "code": 0.75,
+    "src0": 1.0,
+    "src1": 1.0,
+    "src2": 0.75,
+    "src3": 0.5,
+    "src4": 0.5,
+    "src5": 0.25,
 }
-_MIX_DEFAULT = 0.1  # unknown sources: heavy downsample
+_MIX_DEFAULT = 0.1  # long-tail sources: heavy downsample
 
 
 @query(
