@@ -458,16 +458,21 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = sig_q.join(sig_x, "bucket").select(
             "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
         )
-        pairs = pairs.persist()  # hits + n_cand: two actions, one compute
+        # One action per branch: rank candidates, left-join the exact
+        # top-k, and take candidate count + hit count from a single agg
+        # (separate count() actions would recompute the bucket join).
         w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        topk = (
-            pairs.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= _RECALL_K)
-            .select("query_id", "neighbor_id")
+        ranked = pairs.withColumn("rnk", F.row_number().over(w))
+        joined = ranked.join(
+            exact.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
         )
-        hits = topk.join(exact, ["query_id", "neighbor_id"]).count()
-        n_cand = pairs.count()
-        pairs.unpersist()
+        stats = joined.agg(
+            F.count("*").alias("n_cand"),
+            F.sum(
+                F.when((F.col("rnk") <= _RECALL_K) & F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("hits"),
+        ).collect()[0]
+        hits, n_cand = stats["hits"], stats["n_cand"]
         rows.append(
             (
                 bits,
