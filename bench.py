@@ -163,11 +163,16 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
         # queries map (the r2 artifact kept 1 of 84) — comparing against
         # a fragment yields nonsense totals/regressions. Require real
         # overlap; otherwise fall back to an older, fuller artifact.
-        if len(set(times) & set(pq)) < max(10, len(times) // 2):
+        if len(set(times) & set(pq)) < min(len(times), max(10, len(times) // 2)):
             continue
-        prev_total = prev.get("value") or (
-            prev.get("parsed", {}) or {}
-        ).get("value") or round(sum(pq.values()), 3)
+        # Explicit None checks: `or`-chaining would discard a recorded
+        # 0.0 and silently fall through to a (possibly fragmentary)
+        # recomputed sum.
+        prev_total = prev.get("value")
+        if prev_total is None and isinstance(prev.get("parsed"), dict):
+            prev_total = prev["parsed"].get("value")
+        if prev_total is None:
+            prev_total = round(sum(pq.values()), 3)
         deltas = {
             name: round(t - pq[name], 3) for name, t in times.items() if name in pq
         }

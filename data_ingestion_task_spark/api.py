@@ -57,6 +57,7 @@ def classify_documents(
     overlap: int = 16,
     encoder=None,
     dim: int = 16,
+    max_index_rows: int | None = None,
 ) -> DataFrame:
     """kNN document classification from raw text (the Faiss_2_10
     lifecycle): chunk both sides, encode (deterministic hashing default;
@@ -88,8 +89,18 @@ def classify_documents(
     x = embed(index_docs, [label_col]).select(
         F.col("cid").alias("neighbor_id"), F.col(label_col).alias("_lbl"), "embedding"
     ).persist()
-    topk = knn_join_exact(
-        x.select("neighbor_id", "embedding"), q.select("query_id", "embedding"), k=k
+    # Size-routed: exact broadcast kNN below the cap (identical results),
+    # deterministic-LSH above it — the facade must not hard-fail at the
+    # scale it advertises. x is persisted, so the routing count
+    # materializes the cache the exact path's collect then reads.
+    from .operators.knn import DEFAULT_MAX_INDEX_ROWS, knn_topk
+
+    topk = knn_topk(
+        x.select("neighbor_id", "embedding"),
+        q.select("query_id", "embedding"),
+        k=k,
+        dim=dim,
+        max_index_rows=max_index_rows or DEFAULT_MAX_INDEX_ROWS,
     )
     votes = (
         topk.join(q.select("query_id", "qdoc"), "query_id")
@@ -103,7 +114,9 @@ def classify_documents(
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
-    out._cached_deps = [q, x]
+    # knn_topk persists its (projected) index side for the routing
+    # count — merge its cache handle so api.release frees everything.
+    out._cached_deps = [q, x, *getattr(topk, "_cached_deps", [])]
     return out
 
 
@@ -229,7 +242,10 @@ def confirm_payload(spark: SparkSession, payload: dict) -> dict:
     deliberately ships no server (serving layer is out of scope,
     SURVEY §2.9)."""
     cols = ["doc_first", "doc_last", "doc_addr", "sor_first", "sor_last", "sor_addr"]
-    row = [tuple(payload.get(c) for c in cols)]
+    # Arbitrary client JSON reaches this: coerce non-null values to str
+    # so numbers/booleans get rule-evaluated instead of crashing
+    # createDataFrame's all-string schema.
+    row = [tuple(None if payload.get(c) is None else str(payload.get(c)) for c in cols)]
     df = spark.createDataFrame(row, ", ".join(f"{c} string" for c in cols))
     out = confirm_documents(df, *cols).select(
         "decision", "confidence", "explanation", "n_matches"

@@ -248,22 +248,33 @@ def knn_topk(
     makes the scale decision explicit instead of trusting every call
     site to know the index cardinality (VERDICT r2 perf finding).
 
-    The routing count is one cheap aggregate job over the (already
-    pruned: two columns) index side — negligible next to the join it
-    guards. Semantics: below the cap, results are identical to
+    Semantics: below the cap, results are identical to
     :func:`knn_join_exact`; above it, identical to
     :func:`knn_join_lsh` (approximate — recall tuned by ``n_bits``).
+
+    The routing count would re-execute a DERIVED index pipeline that
+    the chosen path then executes again (for an expensive encode stage
+    that doubling dominates), so the index side is persisted around the
+    decision and the cache handle is exposed on the result as
+    ``_cached_deps`` for the caller to release after collecting (the
+    repo-wide caching contract) — both the exact path's broadcast join
+    and the LSH path's bucket join re-read the index at action time.
     """
-    if index_df.count() <= max_index_rows:
-        return knn_join_exact(
-            index_df, query_df, k,
+    idx = index_df.persist()
+    n = idx.count()
+    if n <= max_index_rows:
+        out = knn_join_exact(
+            idx, query_df, k,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows,
         )
-    return knn_join_lsh(
-        index_df, query_df, k, n_bits=n_bits, dim=dim,
-        query_id=query_id, index_id=index_id, vec_col=vec_col,
-    )
+    else:
+        out = knn_join_lsh(
+            idx, query_df, k, n_bits=n_bits, dim=dim,
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
+        )
+    out._cached_deps = [idx]
+    return out
 
 
 def knn_join_ivf(

@@ -54,7 +54,7 @@ PACK_BUCKETS = 32  # parallel packers; one window partition each
                              ROWS UNBOUNDED PRECEDING) - tok) // {PACK_BUDGET} AS pack_seq
       FROM toks
     )
-    SELECT CAST(bucket * 1000000 + pack_seq AS BIGINT) AS pack_id,
+    SELECT CAST(bucket * 1099511627776 + pack_seq AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS tokens,
            round(CAST(SUM(tok) AS DOUBLE) / {PACK_BUDGET}, 6) AS fill_ratio
@@ -68,7 +68,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     of {PACK_BUCKETS} independent packers, and within a packer the
     running token total assigns each doc to the pack where its payload
     starts. Per-doc token counts are capped at the budget (oversized
-    docs are truncated upstream at tokenize time).
+    docs are truncated upstream at tokenize time). ``pack_id`` gives
+    each bucket 2^40 pack slots (~half a PB of 512-token packs per
+    bucket) so ids cannot collide at the scales this operator
+    advertises.
 
     The window partitions by bucket — cumulative sums never serialize
     the corpus through one partition, which is what makes this hold at
@@ -99,7 +102,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("bigint").alias("tokens"),
         )
         .select(
-            (F.col("bucket") * 1000000 + F.col("pack_seq")).cast("bigint").alias("pack_id"),
+            (F.col("bucket") * F.lit(1 << 40) + F.col("pack_seq")).cast("bigint").alias("pack_id"),
             "n_docs",
             "tokens",
             F.round(F.col("tokens").cast("double") / PACK_BUDGET, 6).alias("fill_ratio"),

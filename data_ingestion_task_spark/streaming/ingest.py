@@ -105,18 +105,30 @@ def start_document_ingest(
     )
 
 
+def _ntz_to_ltz(df: DataFrame, col: str) -> "F.Column":
+    """Coerce ONLY TIMESTAMP_NTZ to TIMESTAMP_LTZ; every other type
+    passes through unchanged so event-time operators keep raising on
+    genuinely wrong columns (a bigint cast to timestamp would be
+    silently interpreted as epoch-seconds — garbage windows)."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return F.col(col).cast("timestamp")
+    return F.col(col)
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling window counts with late-data watermark —
     the streaming twin of plans/events_plans.events_tumbling_window
     (identical grouping expression).
 
-    ``ts`` is normalized to TIMESTAMP_LTZ first: watermarks reject
-    TIMESTAMP_NTZ, and parquet written without a timezone reads back as
-    NTZ (see sources/tables.load_table). The cast is a no-op when the
-    input is already LTZ, and value-identical under the engine's pinned
-    UTC session timezone."""
+    ``ts`` is normalized to TIMESTAMP_LTZ first when it arrives as
+    TIMESTAMP_NTZ: watermarks reject NTZ, and parquet written without a
+    timezone reads back as NTZ (see sources/tables.load_table); under
+    the engine's pinned UTC session timezone the cast is
+    value-identical. ONLY NTZ is coerced — a numeric ``ts`` (e.g.
+    epoch-nanos read as bigint) must keep failing loudly in
+    ``withWatermark`` rather than be silently cast as epoch-SECONDS."""
     return (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        events.withColumn("ts", _ntz_to_ltz(events, "ts"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
@@ -173,12 +185,9 @@ def start_bounded_deduped_ingest(
     per record ever seen — at 100 TB/day that is the difference
     between GBs and an unbounded store. (Re-deliveries later than the
     horizon pass through; dedupe those at rest with dedup_exact.)"""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(inbox)
-        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, horizon)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 64).parquet(inbox)
+    stream = stream.withColumn(ts_col, _ntz_to_ltz(stream, ts_col)).withWatermark(
+        ts_col, horizon
     )
     deduped = stream.dropDuplicatesWithinWatermark(dedup_cols)
 

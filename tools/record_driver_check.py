@@ -60,11 +60,12 @@ def main() -> int:
         if "--force" not in args:
             import subprocess
 
-            dirty = subprocess.run(
-                ["git", "status", "--porcelain", "--", "data_ingestion_task_spark"],
-                capture_output=True,
-                text=True,
-            ).stdout.strip()
+            def _git(*a: str) -> str:
+                return subprocess.run(
+                    ["git", *a], capture_output=True, text=True
+                ).stdout.strip()
+
+            dirty = _git("status", "--porcelain", "--", "data_ingestion_task_spark")
             if dirty:
                 print(
                     "REFUSING to certify: engine sources have uncommitted changes —\n"
@@ -74,6 +75,25 @@ def main() -> int:
                     "provably unrelated to any query fn/oracle."
                 )
                 return 1
+            # Committed-after-check edits are just as disqualifying as
+            # uncommitted ones: the driver verified the sources as of
+            # the commit that produced the CORRECTNESS artifact, so any
+            # engine commit NEWER than the artifact's last commit means
+            # current hashes are not what the driver checked.
+            art_commit = _git("log", "-1", "--format=%H", "--", path)
+            if art_commit:
+                newer = _git(
+                    "log", "--oneline", f"{art_commit}..HEAD", "--",
+                    "data_ingestion_task_spark",
+                )
+                if newer:
+                    print(
+                        "REFUSING to certify: engine commits landed AFTER the "
+                        f"artifact {path} was recorded —\n{newer}\n"
+                        "run this tool at round start before editing, or --force "
+                        "if those commits touched no query fn/oracle."
+                    )
+                    return 1
         args = [a for a in args if a != "--force"]
         with open(path) as f:
             results = json.load(f)
