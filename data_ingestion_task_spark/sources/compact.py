@@ -69,6 +69,14 @@ def compact_parquet_dir(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
     old = path.rstrip("/") + ".__compact_old__"
+    # Clear leftovers of a previously crashed compaction: a stale tmp
+    # is garbage (rewrite it), a stale old is a completed swap whose
+    # cleanup died (the live dir is already the compacted one).
+    jvm0, fs0, _ = _hadoop_fs(spark, path)
+    P0 = jvm0.org.apache.hadoop.fs.Path
+    for stale in (tmp, old):
+        if fs0.exists(P0(stale)):
+            fs0.delete(P0(stale), True)
     # repartition (full shuffle) rather than coalesce: coalesce would
     # fuse upstream scan tasks and can skew file sizes badly when the
     # input layout is skewed — the point of this job IS even sizing.
