@@ -18,12 +18,14 @@ order-insensitive value-hash matches bit-for-bit):
 
 from __future__ import annotations
 
+import ast
 import contextlib
 import functools
 import hashlib
 import inspect
 import json
 import os
+import sys
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -74,13 +76,108 @@ class QuerySpec:
     content_hash: str = ""  # sha256 of (fn source, oracle) at registration
 
 
+_PKG_NAME = "data_ingestion_task_spark"
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: The registry module itself is excluded from dependency closures:
+#: every plan module imports its @query decorator, so including it
+#: would uncertify all queries on any ordering/infra tweak — defeating
+#: the bounded-check-window invariant the ledger exists to keep. Its
+#: behavior is pinned by tests/test_registry_ordering.py and
+#: tests/test_registry_deps.py instead. After editing it, run
+#: ``tools/record_driver_check.py --rehash`` on a clean tree.
+_DEP_EXCLUDE = {_PKG_NAME + ".plans.registry"}
+
+
+@functools.lru_cache(maxsize=None)
+def _module_path(mod: str) -> str | None:
+    """File path of a first-party dotted module name, else None."""
+    if mod != _PKG_NAME and not mod.startswith(_PKG_NAME + "."):
+        return None
+    rel = mod[len(_PKG_NAME) :].lstrip(".").replace(".", os.sep)
+    base = os.path.join(_PKG_ROOT, rel) if rel else _PKG_ROOT
+    if os.path.isfile(base + ".py"):
+        return base + ".py"
+    init = os.path.join(base, "__init__.py")
+    return init if os.path.isfile(init) else None
+
+
+@functools.lru_cache(maxsize=None)
+def _file_sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+@functools.lru_cache(maxsize=None)
+def _direct_deps(mod: str) -> tuple[str, ...]:
+    """First-party modules ``mod`` imports, resolved from its AST (no
+    execution). Handles absolute and relative imports, and the
+    ``from pkg import submodule`` form."""
+    path = _module_path(mod)
+    if path is None:
+        return ()
+    with open(path, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    parts = mod.split(".")
+    # Relative imports resolve against the containing package; a
+    # package's __init__.py resolves level-1 against itself.
+    pkg = parts if path.endswith("__init__.py") else parts[:-1]
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                found.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg[: len(pkg) - (node.level - 1)]
+                m = ".".join(base + ([node.module] if node.module else []))
+            else:
+                m = node.module or ""
+            found.add(m)
+            for a in node.names:  # `from pkg import submodule`
+                found.add(m + "." + a.name if m else a.name)
+    deps = {m for m in found if m not in _DEP_EXCLUDE and _module_path(m)}
+    deps.discard(mod)
+    return tuple(sorted(deps))
+
+
+@functools.lru_cache(maxsize=None)
+def _dep_hash(root_mod: str) -> str:
+    """Combined content hash of ``root_mod`` plus its transitive
+    first-party import closure. Folding this into every query's
+    content hash means an edit to a shared helper (``functions/``,
+    ``operators/``, ``sources/`` …) automatically re-sorts all
+    dependent queries into the driver's bounded check window — closing
+    the r3 'honor-system --evict' hole. Coarse by design: any edit to
+    a module in the closure (comments included) uncertifies every
+    query in its dependents."""
+    seen: set[str] = set()
+    stack = [root_mod]
+    while stack:
+        m = stack.pop()
+        if m in seen or m in _DEP_EXCLUDE:
+            continue
+        seen.add(m)
+        stack.extend(_direct_deps(m))
+    h = hashlib.sha256()
+    for m in sorted(seen):
+        p = _module_path(m)
+        if p is not None:
+            h.update(m.encode())
+            h.update(b"\0")
+            h.update(_file_sha(p).encode())
+            h.update(b"\0")
+    return h.hexdigest()
+
+
 def _content_hash(fn: Callable, oracle: str | None) -> str:
     """Fingerprint of a query's observable definition: its function
-    source (decorators included) + oracle SQL. Any edit to either makes
-    the query sort back into the driver's bounded check prefix (see
-    ``_ordered_names``). Helper-function edits are NOT captured — when
-    a shared helper changes semantics, evict its dependents from
-    ``driver_checked.json`` via ``tools/record_driver_check.py --evict``."""
+    source (decorators included) + oracle SQL + the file hashes of its
+    defining module's transitive first-party import closure
+    (:func:`_dep_hash`). Any edit to the query, its oracle, or any
+    first-party helper it (transitively) imports makes the query sort
+    back into the driver's bounded check prefix (see
+    ``_ordered_names``)."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):  # REPL-defined fn: treat as always-changed
@@ -89,6 +186,8 @@ def _content_hash(fn: Callable, oracle: str | None) -> str:
     h.update(src.encode())
     h.update(b"\0")
     h.update((oracle or "").encode())
+    h.update(b"\0")
+    h.update(_dep_hash(getattr(fn, "__module__", "") or "").encode())
     return h.hexdigest()
 
 
@@ -186,11 +285,17 @@ def _ordered_names() -> list[str]:
     changed-since-last-check can rotate out of the checked window."""
     load_all()
     ledger = checked_ledger()
+    # A stale ledger name (query renamed/deleted) cannot affect the
+    # ordering invariant, so it must not take down a driver run — warn
+    # and ignore here; tools/record_driver_check.py prunes them and
+    # tests/test_registry_ordering.py fails if any are committed.
     stale = [n for n in ledger if n not in REGISTRY]
-    assert not stale, (
-        f"driver_checked.json names no longer registered: {stale} — "
-        "rerun tools/record_driver_check.py or remove them"
-    )
+    if stale:
+        print(
+            f"WARNING: driver_checked.json names no longer registered "
+            f"(ignored): {stale} — rerun tools/record_driver_check.py",
+            file=sys.stderr,
+        )
     first = [n for n, spec in REGISTRY.items() if ledger.get(n) != spec.content_hash]
     rest = [n for n, spec in REGISTRY.items() if ledger.get(n) == spec.content_hash]
     return first + rest

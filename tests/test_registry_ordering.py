@@ -13,6 +13,20 @@ def test_ledger_names_all_registered():
         assert name in registry.REGISTRY
 
 
+def test_stale_ledger_entry_does_not_brick_ordering(monkeypatch):
+    """A renamed/deleted query's leftover ledger entry cannot affect
+    the ordering invariant, so it must not take down queries_dict() in
+    a driver run (ADVICE r3) — it only warns. The committed ledger is
+    still held stale-free by test_ledger_names_all_registered."""
+    registry.load_all()
+    ledger = dict(registry.checked_ledger())
+    ledger["a_query_that_no_longer_exists"] = "deadbeef"
+    monkeypatch.setattr(registry, "checked_ledger", lambda: ledger)
+    names = list(registry.queries_dict())
+    assert "a_query_that_no_longer_exists" not in names
+    assert len(names) == len(registry.REGISTRY)
+
+
 def test_uncertified_sort_before_certified():
     names = list(registry.queries_dict())
     ledger = registry.checked_ledger()

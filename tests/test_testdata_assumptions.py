@@ -41,6 +41,20 @@ def test_key_columns_present(spark, sf_dir):
         assert not missing, f"{t} lost columns the engine renders from: {missing}"
 
 
+def test_documents_text_never_blank(spark, sf_dir):
+    """Pretrain-plan oracles word-count with DuckDB str_split_regex,
+    which yields 1 for ''-after-trim where Spark's word_len yields 0.
+    The oracles carry a blank-guard CASE, but this pins the stronger
+    contract so a testdata regeneration that starts emitting blank/NULL
+    text fails loudly at round start (ADVICE r3)."""
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNull() | (F.trim("text") == ""))
+        .count()
+    )
+    assert n == 0, f"{n} documents rows have NULL/blank text"
+
+
 def test_embedding_dim_stable(spark, sf_dir):
     dim = (
         load_table(spark, sf_dir, "embeddings")

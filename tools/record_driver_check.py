@@ -15,10 +15,17 @@ ONLY writer of the ledger backing that rule:
       those names entirely (they simply stay uncertified — safe).
 
   python tools/record_driver_check.py --evict NAME [NAME...]
-      Remove names from the ledger. Use when a SHARED HELPER a query
-      depends on changed semantics (content hashes cover only the
-      query fn + oracle, not helpers), so dependents must re-enter
-      the check window.
+      Remove names from the ledger (manual escape hatch; since r4 the
+      content hash already covers each query's transitive first-party
+      import closure, so helper edits self-evict).
+
+  python tools/record_driver_check.py --rehash
+      Re-stamp every certified entry with the CURRENT-scheme content
+      hash. ONLY valid immediately after a change to the hashing
+      scheme itself (plans/registry.py) on a clean tree where no query
+      fn/oracle/helper changed since the entries were certified —
+      otherwise it would stamp post-edit definitions as checked.
+      Refuses on a dirty engine tree.
 
 Safety direction: a wrongly-ABSENT ledger entry only costs a redundant
 re-check; a wrongly-PRESENT one hides a changed query from the driver
@@ -50,6 +57,30 @@ def main() -> int:
                 print(f"evicted {name}")
             else:
                 print(f"not in ledger: {name}")
+    elif args[0] == "--rehash":
+        import subprocess
+
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", "data_ingestion_task_spark"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if dirty:
+            print(
+                "REFUSING to rehash: engine tree dirty —\n"
+                f"{dirty}\n"
+                "--rehash is only valid when the certified definitions are "
+                "unchanged and only the hash SCHEME moved. Commit first."
+            )
+            return 1
+        for name in list(ledger):
+            spec = registry.REGISTRY.get(name)
+            if spec is None:
+                ledger.pop(name)
+                print(f"pruned stale entry {name}")
+            else:
+                ledger[name] = spec.content_hash
+                print(f"rehashed {name}")
     else:
         path = args[0]
         only = set(args[args.index("--only") + 1 :]) if "--only" in args else None
@@ -113,6 +144,9 @@ def main() -> int:
             else:
                 ledger.pop(name, None)
                 print(f"NOT green, evicted if present: {name}")
+        for name in [n for n in ledger if n not in registry.REGISTRY]:
+            ledger.pop(name)
+            print(f"pruned stale entry (no longer registered): {name}")
 
     with open(registry.CHECKED_LEDGER_PATH, "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=1)
