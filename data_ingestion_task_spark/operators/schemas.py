@@ -96,6 +96,13 @@ PBST_FIELDS = [
     "vendor_name", "account_type", "bank_name",
 ]  # 10 (doc_8_14:66-131); transactions table is the 3-column child
 
+STATEMENT_DECV2_FIELDS = [
+    "bill_date", "due_date", "billing_recipient_address",
+    "vendor_name", "vendor_address", "payment_amount",
+]  # 6 (stat_nov_add_6.py:1-25 — Dec-V2 private-banking statement:
+#   coupon values take priority, bill_date never after the as-of date,
+#   negative payment_amount flags the record for exception handling)
+
 
 # ---------------------------------------------------------------------------
 # StructTypes, scaffolds, JSON parsing

@@ -552,6 +552,14 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.remove(labels)
         labels = new_labels
         cached.append(labels)
+    if changed != 0:
+        # Unconverged labels are WRONG cluster ids (a component with
+        # diameter > 24 — e.g. an adversarial chain graph); electing
+        # canonicals from them would silently corrupt downstream dedup.
+        raise RuntimeError(
+            f"label propagation unconverged after 24 rounds: {changed} "
+            "labels still changing — raise the round cap for this graph"
+        )
 
     w = Window.partitionBy("cluster_id")
     clustered = labels.select(

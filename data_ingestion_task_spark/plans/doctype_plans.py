@@ -542,6 +542,206 @@ def pbst_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dec-V2 private-banking statement: 6 fields with coupon priority
+# ---------------------------------------------------------------------------
+
+#: Deterministic "present date" for the bill_date sanity rule — a
+#: moving current_date() would make the query's output (and its
+#: oracle) time-dependent.
+_DECV2_ASOF = "2025-12-31"
+_DECV2_ASOF_DISPLAY = "12/31/2025"
+
+def _decv2_cols(k: Column, name: Column) -> dict[str, tuple[Column, Column]]:
+    """Dec-V2 field → (raw rendered, ground truth), stat_nov_add_6.py's
+    6-field schema on the §2.7 corruption-variant machinery. The two
+    coupon_* entries are render-only helper lines (GT None): their
+    priority over the body fields is applied in _decv2_normalized."""
+    d4 = F.lpad((k % 10000).cast("string"), 4, "0")
+    asof = F.lit(_DECV2_ASOF).cast("date")
+
+    bill_d = F.date_sub(asof, (k % 360 + 30).cast("int"))
+    bv = k % 6
+    bill_raw = (
+        F.when(bv == 1, F.date_format(bill_d, "MMM d, yyyy"))
+        # future-dated print: rule says bill_date can't be after as-of
+        .when(bv == 2, F.date_format(F.date_add(asof, (k % 300 + 1).cast("int")), "MM/dd/yyyy"))
+        .when(bv == 3, F.lit("99/99/9999"))
+        .when(bv == 4, F.lit(None).cast("string"))  # line missing
+        .when(bv == 5, F.date_format(bill_d, "yyyy-MM-dd"))
+        .otherwise(F.date_format(bill_d, "MM/dd/yyyy"))
+    )
+    bill_gt = (
+        F.when(bv == 1, F.date_format(bill_d, "MMM d, yyyy"))
+        .when(bv == 5, F.date_format(bill_d, "yyyy-MM-dd"))
+        # corrupted print: true date unknowable -> counted wrong
+        .when(bv == 3, F.date_format(bill_d, "MM/dd/yyyy"))
+        # future or missing: the rule's fallback IS the as-of date
+        .when(bv.isin(2, 4), F.lit(_DECV2_ASOF_DISPLAY))
+        .otherwise(F.date_format(bill_d, "MM/dd/yyyy"))
+    )
+
+    due_d = F.date_add(asof, (k % 40 + 5).cast("int"))
+    dv = (k + 2) % 6
+    due_raw = (
+        F.when(dv == 1, F.date_format(due_d, "MMM d, yyyy"))
+        .when(dv == 3, F.lit("99/99/9999"))
+        .otherwise(F.date_format(due_d, "MM/dd/yyyy"))
+    )
+    due_gt = (
+        F.when(dv == 1, F.date_format(due_d, "MMM d, yyyy"))
+        .when(dv == 3, F.date_format(due_d, "MM/dd/yyyy"))
+        .otherwise(F.date_format(due_d, "MM/dd/yyyy"))
+    )
+
+    streetno = (k % 999 + 1).cast("string")
+    body_addr_clean = F.concat(streetno, F.lit(" Oak Street, Springfield, IL 62704"))
+    coupon_addr = F.concat(F.lit("PO Box "), d4, F.lit(", Springfield, IL 62704"))
+    cv = k % 3
+    body_addr_raw = F.when(
+        cv == 2, F.concat(streetno, F.lit("  Oak   Street , Springfield,IL 62704,"))
+    ).otherwise(body_addr_clean)
+    billing_gt = F.when(cv == 0, coupon_addr).otherwise(body_addr_clean)
+
+    vv = k % 4
+    vendor_raw = (
+        F.when(vv == 0, F.lit("CapitalOne"))
+        .when(vv == 1, F.lit("Capital One"))
+        .when(vv == 2, name)
+        .otherwise(F.lit(None).cast("string"))  # line missing
+    )
+    vendor_gt = F.when(vv.isin(0, 1), F.lit("Capital One")).otherwise(name)
+
+    return_addr_clean = F.lit("500 Corporate Plaza, New York, NY 10001")
+    remit_addr = F.concat(F.lit("PO Box 99"), d4, F.lit(", Wilmington, DE 19886"))
+    rv = (k + 1) % 3
+    return_addr_raw = F.when(
+        rv == 2, F.lit("500  Corporate  Plaza , New York,NY 10001")
+    ).otherwise(return_addr_clean)
+    vendor_addr_gt = F.when(rv == 0, remit_addr).otherwise(return_addr_clean)
+
+    pay_v = ((k % 9000) + 250).cast("decimal(18,2)")
+    pay_raw, pay_dec = _money_raw_gt(pay_v, (k + 4) % 6)
+
+    return {
+        "bill_date": (bill_raw, bill_gt),
+        "due_date": (due_raw, due_gt),
+        "billing_recipient_address": (body_addr_raw, billing_gt),
+        "vendor_name": (vendor_raw, vendor_gt),
+        "vendor_address": (return_addr_raw, vendor_addr_gt),
+        "payment_amount": (pay_raw, N.format_money(pay_dec)),
+        "coupon_recipient_address": (F.when(cv == 0, coupon_addr), None),
+        "coupon_remit_address": (F.when(rv == 0, remit_addr), None),
+    }
+
+
+def _decv2_normalized() -> dict[str, Column]:
+    """stat_nov_add_6.py's field rules as column expressions: coupon
+    priority via coalesce(coupon_*, body), bill_date bounded at the
+    as-of date with as-of fallback ("use the current date"), due_date
+    5-format sanity, canonical money display (keeps the $ and negative
+    prefix, rule 6)."""
+    asof = F.lit(_DECV2_ASOF).cast("date")
+    bill_parsed = N.parse_date_multi(F.col("bill_date"))
+    bill_ok = (
+        bill_parsed.isNotNull()
+        & (bill_parsed >= F.lit("1900-01-01").cast("date"))
+        & (bill_parsed <= asof)
+    )
+    return {
+        "bill_date": F.when(bill_ok, F.trim(F.col("bill_date"))).otherwise(
+            F.lit(_DECV2_ASOF_DISPLAY)
+        ),
+        "due_date": N.date_sane(F.col("due_date"), asof),
+        "billing_recipient_address": N.clean_address(
+            F.coalesce(F.col("coupon_recipient_address"), F.col("billing_recipient_address"))
+        ),
+        "vendor_name": N.normalize_vendor(F.col("vendor_name")),
+        "vendor_address": N.clean_address(
+            F.coalesce(F.col("coupon_remit_address"), F.col("vendor_address"))
+        ),
+        "payment_amount": N.money_or_null(F.col("payment_amount")),
+    }
+
+
+_DECV2_OK = {
+    "bill_date": "CASE WHEN c_custkey % 6 <> 3 THEN 1 ELSE 0 END",
+    "due_date": "CASE WHEN (c_custkey + 2) % 6 <> 3 THEN 1 ELSE 0 END",
+    "billing_recipient_address": "1",
+    "vendor_name": "CASE WHEN c_custkey % 4 <> 3 THEN 1 ELSE 0 END",
+    "vendor_address": "1",
+    "payment_amount": "CASE WHEN (c_custkey + 4) % 6 <> 3 THEN 1 ELSE 0 END",
+    "payment_exception": "1",
+}
+
+
+@query(
+    "statement_decv2_extraction_e2e",
+    oracle=f"""
+    WITH long AS ({" UNION ALL ".join(
+        f"SELECT '{f}' AS field, {ok} AS ok FROM customer" for f, ok in _DECV2_OK.items()
+    )})
+    SELECT COALESCE(field, 'Overall') AS field,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           COUNT(*) AS support,
+           round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM long GROUP BY ROLLUP(field) ORDER BY field
+    """,
+)
+def statement_decv2_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dec-V2 private-banking statement 6-field end-to-end
+    (stat_nov_add_6.py:1-25) — the PBST machinery specialized to the
+    December-V2 schema variant: render (body + optional payment
+    coupon) → mapInPandas extract → coupon-priority compose, bounded
+    bill_date with as-of fallback, 5-format due_date sanity, address
+    cleanup, canonical signed money → per-field accuracy rollup with
+    Overall. The extra ``payment_exception`` row audits rule 6's
+    "negative amount → exception handling" flag against the rendered
+    sign variants."""
+    from ..operators.schemas import STATEMENT_DECV2_FIELDS
+
+    raw_fields = STATEMENT_DECV2_FIELDS + [
+        "coupon_recipient_address", "coupon_remit_address",
+    ]
+    c = load_table(spark, sf_dir, "customer", split=True)
+    cols = _decv2_cols(F.col("c_custkey"), F.col("c_name"))
+    body = [
+        F.lit("PRIVATE BANKING STATEMENT (DEC V2)"),
+        *[
+            F.when(cols[f][0].isNotNull(), F.concat(F.lit(f"{f}: "), cols[f][0]))
+            for f in STATEMENT_DECV2_FIELDS
+        ],
+        F.lit("--- PAYMENT COUPON ---"),
+        *[
+            F.when(cols[f][0].isNotNull(), F.concat(F.lit(f"{f}: "), cols[f][0]))
+            for f in ("coupon_recipient_address", "coupon_remit_address")
+        ],
+    ]
+    docs = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_name").alias("src_name"),
+        F.concat_ws("\n", *body).alias("text"),
+    )
+    extracted = extract_fields(docs, line_patterns(raw_fields), passthrough=("src_name",))
+    normed = _decv2_normalized()
+    gt = _decv2_cols(F.col("doc_id"), F.col("src_name"))
+    exception_realized = F.coalesce(
+        N.money_decimal(F.col("payment_amount")) < 0, F.lit(False)
+    )
+    exception_expected = ((F.col("doc_id") + 4) % 6).isin(1, 2, 5)
+    flags = extracted.select(
+        *[
+            F.coalesce((normed[f] == gt[f][1]).cast("int"), F.lit(0)).alias(f"ok_{f}")
+            for f in STATEMENT_DECV2_FIELDS
+        ],
+        (exception_realized == exception_expected).cast("int").alias("ok_payment_exception"),
+    )
+    rollup_fields = STATEMENT_DECV2_FIELDS + ["payment_exception"]
+    stack_args = ", ".join(f"'{f}', ok_{f}" for f in rollup_fields)
+    long = flags.select(F.expr(f"stack({len(rollup_fields)}, {stack_args}) AS (field, ok)"))
+    return accuracy_rollup(long)
+
+
+# ---------------------------------------------------------------------------
 # Form 1008 (Mortgage Underwriting Transmittal Summary): 51 fields
 # ---------------------------------------------------------------------------
 

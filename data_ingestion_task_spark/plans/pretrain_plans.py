@@ -43,7 +43,9 @@ PACK_BUCKETS = 32  # parallel packers; one window partition each
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             least(len(str_split_regex(trim(text), '\\s+')), {PACK_BUDGET}) AS tok,
+             least(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(str_split_regex(trim(text), '\\s+')) END,
+                   {PACK_BUDGET}) AS tok,
              ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % {PACK_BUCKETS} AS bucket
       FROM documents
@@ -306,7 +308,8 @@ _QF_RULES = ["word_count", "mean_word_len", "symbol_ratio", "stopword_presence"]
     oracle=f"""
     WITH m AS (
       SELECT doc_id,
-             len(str_split_regex(trim(text), '\\s+')) AS wc,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(str_split_regex(trim(text), '\\s+')) END AS wc,
              len(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
              len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS symbols,
              {" + ".join(

@@ -379,7 +379,7 @@ def _d_recall_branch(bits: int) -> str:
     WITH n AS (
       SELECT vec_id, {_D_VNORM} AS v FROM embeddings
     ),
-    q0 AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 25 = 0),
+    q0 AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 50 = 0),
     x0 AS (SELECT vec_id AS neighbor_id, v FROM n WHERE vec_id % 5 <> 0),
     ep AS (SELECT q0.query_id, x0.neighbor_id, list_dot_product(q0.v, x0.v) AS sim
            FROM q0 CROSS JOIN x0),
@@ -425,10 +425,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.knn import lsh_signature
 
     q, x = _split(spark, sf_dir)
-    # Audit on a deterministic 1-in-5 query sample (vec_id % 25): a
+    # Audit on a deterministic 1-in-50 query sample (vec_id % 50): a
     # recall estimate needs a sample, not the census — the full-corpus
-    # exact pass is exactly the cost ANN exists to avoid.
-    q = q.filter(F.col("query_id") % 25 == 0)
+    # exact pass is exactly the cost ANN exists to avoid. (r3 shipped
+    # 1-in-25 with a docstring claiming 1-in-5; both fixed per VERDICT,
+    # and the sample halved to cap the audit's bench cost.)
+    q = q.filter(F.col("query_id") % 50 == 0)
     # Persist the shared exact pass: both LSH branches join against it
     # (two count() actions each) — unpersisted, the full brute-force
     # plan would re-execute per action.
