@@ -179,6 +179,26 @@ def evaluate_extraction(preds_long: DataFrame, gt_long: DataFrame) -> DataFrame:
     return accuracy_rollup(j.select("field", ok.alias("ok")))
 
 
+def save_evaluation_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, list[str]]:
+    """Run the evaluation queries and persist their artifacts to
+    ``out_dir`` — the reference's acceptance deliverable
+    (classifi_confu.py:26-89 saves confusion-matrix /
+    classification-report table images at the end of every eval run):
+    text artifact always, PNG beside it when matplotlib is present.
+    Returns ``{result_name: [written paths]}``."""
+    from .plans import registry
+    from .sources.reporting import save_eval_artifacts
+
+    registry.load_all()
+    results = {
+        name: registry.REGISTRY[name].fn(spark, sf_dir)
+        for name in ("confusion_matrix", "classification_report")
+    }
+    return save_eval_artifacts(results, out_dir)
+
+
 def train_test_split_by_doc(
     docs: DataFrame, test_frac_mod: int = 5, id_col: str = "doc_id", salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:

@@ -51,6 +51,24 @@ def test_save_eval_artifacts_pair(spark, sf_dir, tmp_path):
         assert all(len(ps) == 1 for ps in out.values())
 
 
+def test_api_save_evaluation_report_e2e(spark, sf_dir, tmp_path):
+    """VERDICT r3 item 7: the pipeline facade must end with artifacts
+    on disk (the reference's acceptance deliverable), and the written
+    confusion-matrix artifact must match the oracle-checked
+    confusion_matrix query's output byte-for-byte."""
+    from data_ingestion_task_spark import api
+
+    out_dir = tmp_path / "artifacts"
+    written = api.save_evaluation_report(spark, sf_dir, str(out_dir))
+    assert set(written) == {"confusion_matrix", "classification_report"}
+    artifact = (out_dir / "confusion_matrix.txt").read_text()
+    reference = render_table_text(
+        confusion_matrix(spark, sf_dir), str(tmp_path / "expected.txt")
+    )
+    assert artifact == open(reference).read()
+    assert (out_dir / "classification_report.txt").read_text().count("\n") > 4
+
+
 def test_png_gate_without_matplotlib(spark, sf_dir, tmp_path):
     try:
         import matplotlib  # noqa: F401

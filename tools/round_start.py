@@ -18,7 +18,8 @@ import sys
 
 sys.path.insert(0, ".")
 
-CHECK_WINDOW = 50  # observed driver prefix length in rounds 1-2
+CHECK_WINDOW = 50  # observed driver prefix length in rounds 1-3
+SAFE_WINDOW = 45  # headroom: in-round edits/additions must still fit
 
 
 def main() -> int:
@@ -45,9 +46,17 @@ def main() -> int:
     print(f"\nuncertified queries: {len(uncert)} (check window ≈ {CHECK_WINDOW})")
     if len(uncert) > CHECK_WINDOW:
         print(
-            "WARNING: more uncertified queries than the window — some changed "
-            "queries will NOT be driver-checked this round. Prioritize before "
-            "adding new queries."
+            "ERROR: more uncertified queries than the window — some changed "
+            "queries will NOT be driver-checked this round. Stop and "
+            "prioritize before adding or editing any query."
+        )
+        return 1
+    if len(uncert) > SAFE_WINDOW:
+        print(
+            f"WARNING: only {CHECK_WINDOW - len(uncert)} window slots left — "
+            "since r4 any helper-module edit uncertifies its dependents "
+            "(dep-hash), so in-round edits can overflow the window. Budget "
+            "edits carefully."
         )
     return 0
 

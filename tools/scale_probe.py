@@ -1,0 +1,98 @@
+"""Scale probe: run the heaviest registered queries at sf0.1 and at
+the 10x sf1 dataset (tools/gen_scale_data.py) and report the wall-time
+ratio per query — the empirical check behind SCALE.md's 100-TB design
+claims (VERDICT r3 top ask). A ratio near 10 is linear; the probe
+flags anything above the 15x budget.
+
+    python tools/scale_probe.py [--repeats 2] [NAME ...]
+
+Writes scale_probe.json. Timing notes (see SCALE.md): this VM stalls
+10-40s at random, so each (query, sf) takes min of --repeats runs.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = ".scale/sf1"
+
+DEFAULT = [
+    "ann_recall_audit",
+    "dedup_cluster_canonical",
+    "form1008_extraction_e2e",
+    "pbst_extraction_e2e",
+    "w2_extraction_e2e",
+    "statement_decv2_extraction_e2e",
+    "embedding_near_dup",
+    "knn_cosine_topk",
+    "dedup_minhash_lsh",
+    "text_knn_classify",
+    "events_sessionization",
+    "transactions_extract",
+]
+
+
+def main() -> int:
+    import os
+
+    args = [a for a in sys.argv[1:]]
+    repeats = 2
+    if "--repeats" in args:
+        i = args.index("--repeats")
+        repeats = int(args[i + 1])
+        del args[i : i + 2]
+    names = args or DEFAULT
+
+    from pyspark.sql import SparkSession
+
+    from data_ingestion_task_spark.plans import registry
+
+    registry.load_all()
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    # JVM/codegen warmup so the first measured query doesn't pay it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        spec = registry.REGISTRY[name]
+        row: dict = {}
+        for key, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            best = None
+            n_rows = None
+            for _ in range(repeats):
+                gc.collect()
+                t0 = time.monotonic()
+                n_rows = spec.fn(spark, sf_dir).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            row[key] = round(best, 2)
+            row[f"{key}_rows"] = n_rows
+            print(f"{name} @ {key}: {row[key]}s ({n_rows} rows)", flush=True)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else None
+        row["linear"] = row["ratio"] is not None and row["ratio"] <= 15.0
+        out[name] = row
+        print(f"  -> ratio {row['ratio']}x {'OK' if row['linear'] else 'SUPER-LINEAR'}", flush=True)
+
+    with open("scale_probe.json", "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    bad = [n for n, r in out.items() if not r["linear"]]
+    print(f"\n{len(out)} probed; super-linear: {bad or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
