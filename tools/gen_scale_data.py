@@ -11,17 +11,24 @@ referenced primary key, so every join keeps its selectivity.
 Two tables get content perturbation so the 10x corpus has 10x the
 WORK, not a quadratic artifact of copying:
 
-- documents.text: replica i != 0 inserts a replica-unique token every
-  10 words (vectorized JVM regex). Near-dup pairs WITHIN a replica are
-  preserved (both docs get the same treatment), while a doc and its
-  cross-replica copy share only ~half their shingles (Jaccard ~0.33,
-  below every dedup threshold) — otherwise each near-dup pair (a,b)
-  would explode into 10x10 cross-replica pairs and the clustering
-  probe would measure an O(N^2) artifact instead of 10x scale.
+- documents.text: replica i != 0 appends a replica tag to EVERY word
+  (vectorized JVM regex). A word-level bijection preserves every
+  within-replica shingle equality EXACTLY (near-dup pairs keep their
+  exact Jaccard), while cross-replica shingle overlap is identically
+  zero — so the 10x corpus has exactly 10x the duplicate structure.
+  (A subtler every-Nth-word salt was tried first and FAILED both
+  ways: cross-replica Jaccard stayed ~0.5-1.0 and shifted salt
+  positions broke genuine within-replica pairs.)
 - embeddings.embedding: replica i multiplies dims by a deterministic
   +-1 sign pattern. Within a replica, all pairwise dot products are
-  EXACTLY preserved (s_d^2 = 1); across replicas, dots are ~0 for
-  random sign patterns — same reasoning as for text.
+  EXACTLY preserved (s_d^2 = 1); across replicas, dots concentrate
+  around 0 (std ~ 1/8 in 64 dims). NB: at embedding_near_dup's 0.35
+  cosine threshold the tail still yields ~0.26% of cross pairs — but
+  that is the SAME rate a fresh random corpus of this size would
+  produce in 64 dims (verified: 2M pairs x 0.26% ~ the 4.1k pairs at
+  sf0.1, 180M x 0.26% ~ the 430k at sf1), so pair output growing ~N^2
+  is a property of near-isotropic data at that threshold, not a
+  replication artifact.
 """
 
 from __future__ import annotations
@@ -61,6 +68,10 @@ OUT_PARTS = {"lineitem": 32, "orders": 16, "events": 16}
 
 def main() -> int:
     force = "--force" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        force = True
     if os.path.exists(os.path.join(DST, "_DONE")) and not force:
         print(f"{DST} already built; --force to rebuild")
         return 0
@@ -78,12 +89,16 @@ def main() -> int:
     os.makedirs(DST, exist_ok=True)
 
     for t in COPY_ONLY:
+        if only and t != only:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
         print(f"copied dim {t}")
 
     for t, keymap in KEYMAP.items():
+        if only and t != only:
+            continue
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         reps = []
         for i in range(REPLICAS):
@@ -91,10 +106,10 @@ def main() -> int:
             for col, off in keymap.items():
                 r = r.withColumn(col, F.col(col) + F.lit(i * off))
             if t == "documents" and i > 0:
-                # unique token every 10 words; see module docstring
+                # replica tag on every word; see module docstring
                 r = r.withColumn(
                     "text",
-                    F.regexp_replace(F.col("text"), r"((?:\S+\s+){10})", f"$1zzr{i}qz "),
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1zr{i}"),
                 )
             if t == "embeddings" and i > 0:
                 rng = random.Random(i)

@@ -86,8 +86,15 @@ def main() -> int:
         out[name] = row
         print(f"  -> ratio {row['ratio']}x {'OK' if row['linear'] else 'SUPER-LINEAR'}", flush=True)
 
+    # merge over prior runs so partial re-probes keep the full table
+    try:
+        with open("scale_probe.json") as f:
+            merged = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        merged = {}
+    merged.update(out)
     with open("scale_probe.json", "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(merged, f, indent=1)
         f.write("\n")
     bad = [n for n, r in out.items() if not r["linear"]]
     print(f"\n{len(out)} probed; super-linear: {bad or 'none'}")
