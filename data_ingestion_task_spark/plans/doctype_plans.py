@@ -393,6 +393,49 @@ def credit_card_txn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PBST bank statement: the reference's headline doc type (doc_8_14)
 # ---------------------------------------------------------------------------
 
+def _accuracy_rollup_wide(flags: DataFrame, fields: list[str]) -> DataFrame:
+    """``accuracy_rollup`` for wide ``ok_<field>`` flag frames whose
+    flag expressions are very large: aggregate FIRST (one sum per
+    field + one count), then unpivot the one-row result. Output is
+    identical to ``accuracy_rollup(stack(flags))`` on non-empty input,
+    but the generated hash-agg never inlines all the normalizer-
+    compare trees behind a stack+groupBy — which blows Janino's 64 KB
+    method limit at ~10 such fields (observed on pbst_extraction_e2e:
+    whole-stage codegen failed to compile and the fused stage fell
+    back to interpreted eval). Module-local rather than in
+    operators/metrics.py so adopting it does not uncertify every
+    metrics-importing plan module (see plans/registry._dep_hash)."""
+    import functools
+    import operator as _op
+
+    wide = flags.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"ok_{f}").cast("bigint").alias(f"s_{f}") for f in fields],
+    )
+    stack_args = ", ".join(f"'{f}', s_{f}" for f in fields)
+    per_field = wide.select(
+        F.expr(f"stack({len(fields)}, {stack_args}) AS (field, n_correct)"),
+        F.col("_n").alias("support"),
+    )
+    overall = wide.select(
+        F.lit("Overall").alias("field"),
+        functools.reduce(_op.add, [F.col(f"s_{f}") for f in fields]).alias("n_correct"),
+        (F.col("_n") * len(fields)).alias("support"),
+    )
+    return (
+        per_field.unionByName(overall)
+        .select(
+            "field",
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.col("support").cast("bigint").alias("support"),
+            F.round(F.col("n_correct").cast("double") / F.col("support"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("field")
+    )
+
+
 _PBST_TYPES_RAW = ["Personal Checking Account", "Business Credit Card", "Household Savings Plan"]
 _PBST_TYPES_GT = ["CHECKING", "CREDIT_CARD", "SAVINGS"]
 
@@ -510,35 +553,102 @@ def pbst_extraction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md's top number): render → mapInPandas extract →
     post_process_fields composition (acct last-4, money parse, credit
     sign enforcement, 5-format date sanity, vendor normalize, keyword
-    account-type) → per-field accuracy rollup with Overall."""
+    account-type) → per-field accuracy rollup with Overall.
+
+    Render is a vectorized Arrow stage and the credit-sign compare
+    runs in DECIMAL space (display equality ⇔ decimal equality since
+    format_money is injective on DECIMAL(18,2)): the previous all-JVM
+    variant put the 10 rendered when-chains and the 10 normalizer
+    compares each into one generated method, which blew Janino's
+    64 KB limit and silently fell back to interpreted eval for both
+    stages (the same failure _f1008_render_docs solved for Form
+    1008)."""
     from ..operators.schemas import PBST_FIELDS
 
+    def render(batches):
+        from datetime import date, timedelta
+
+        import pandas as pd
+
+        def fmt_date(d: date, dv: int) -> str:
+            if dv == 1:
+                return f"{d.strftime('%b')} {d.day}, {d.year}"
+            if dv == 2:
+                return d.strftime("%Y-%m-%d")
+            if dv == 3:
+                return "99/99/9999"
+            return d.strftime("%m/%d/%Y")
+
+        def money_raw(v: int, mv: int) -> str | None:
+            plain = f"{v}.00"
+            if mv == 0:
+                return plain
+            if mv == 1:
+                return f"(${plain})"
+            if mv == 2:
+                return f"{plain}-"
+            if mv == 3:
+                return "N/A"
+            if mv == 4:
+                return f"${v:,}.00"
+            return f"{plain} CR"
+
+        for pdf in batches:
+            out = {"doc_id": [], "src_name": [], "text": []}
+            for k, name in zip(pdf["c_custkey"], pdf["c_name"]):
+                k = int(k)
+                d4 = f"{k % 10000:04d}"
+                start = date(2024, 1, 1) + timedelta(days=k % 365)
+                end = start + timedelta(days=30)
+                vv = k % 4
+                vals = {
+                    "client_name": name,
+                    "account_number": (
+                        f"acct {d4}" if k % 9 == 0 else f"ending in:{d4}"
+                    ),
+                    "total_charges": money_raw((k % 7000) + 200, (k + 1) % 6),
+                    "total_credits": money_raw((k % 2500) + 40, (k + 2) % 6),
+                    "statement_start_date": fmt_date(start, k % 7),
+                    "statement_end_date": fmt_date(end, (k + 5) % 7),
+                    "total_due": money_raw((k % 4000) + 75, (k + 3) % 6),
+                    "vendor_name": ["CapitalOne", "Capital One", name, None][vv],
+                    "account_type": _PBST_TYPES_RAW[k % 3],
+                    "bank_name": "Initech Bank",
+                }
+                lines = ["MONTHLY ACCOUNT STATEMENT"] + [
+                    f"{f}: {vals[f]}" for f in PBST_FIELDS if vals[f] is not None
+                ]
+                out["doc_id"].append(k)
+                out["src_name"].append(name)
+                out["text"].append("\n".join(lines))
+            yield pd.DataFrame(out)
+
     c = load_table(spark, sf_dir, "customer", split=True)
-    cols = _pbst_cols(F.col("c_custkey"), F.col("c_name"))
-    lines = [
-        F.lit("MONTHLY ACCOUNT STATEMENT"),
-        *[
-            F.when(cols[f][0].isNotNull(), F.concat(F.lit(f"{f}: "), cols[f][0]))
-            for f in PBST_FIELDS
-        ],
-    ]
-    docs = c.select(
-        F.col("c_custkey").alias("doc_id"),
-        F.col("c_name").alias("src_name"),
-        F.concat_ws("\n", *lines).alias("text"),
+    docs = c.select("c_custkey", "c_name").mapInPandas(
+        render, "doc_id long, src_name string, text string"
     )
     extracted = extract_fields(docs, line_patterns(PBST_FIELDS), passthrough=("src_name",))
     normed = _pbst_normalized()
     gt = _pbst_cols(F.col("doc_id"), F.col("src_name"))
+    k = F.col("doc_id")
+    # Credit-sign compare in decimal space (see docstring): null-safe
+    # enforce(-abs) against the always-negative GT value.
+    cred_amt = N.money_decimal(F.col("total_credits"))
+    cred_ok = (
+        F.when(cred_amt == 0, F.lit(0).cast("decimal(18,2)")).otherwise(-F.abs(cred_amt))
+        == -((k % 2500) + 40).cast("decimal(18,2)")
+    )
+    compares = {
+        f: (normed[f] == gt[f][1]) for f in PBST_FIELDS if f != "total_credits"
+    }
+    compares["total_credits"] = cred_ok
     flags = extracted.select(
         *[
-            F.coalesce((normed[f] == gt[f][1]).cast("int"), F.lit(0)).alias(f"ok_{f}")
+            F.coalesce(compares[f].cast("int"), F.lit(0)).alias(f"ok_{f}")
             for f in PBST_FIELDS
         ]
     )
-    stack_args = ", ".join(f"'{f}', ok_{f}" for f in PBST_FIELDS)
-    long = flags.select(F.expr(f"stack({len(PBST_FIELDS)}, {stack_args}) AS (field, ok)"))
-    return accuracy_rollup(long)
+    return _accuracy_rollup_wide(flags, PBST_FIELDS)
 
 
 # ---------------------------------------------------------------------------
