@@ -488,8 +488,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
       way, and the deep chained plan pays growing re-optimization on
       top, so unrolling buys nothing. Each round is one shuffle of
       the edge list → the 1000x story is per-round shuffle volume,
-      unchanged; for adversarial chain graphs swap in two-phase
-      large-star/small-star.
+      unchanged; for adversarial chain graphs use the implemented
+      :func:`dedup_cluster_star` (same contract, O(log n) rounds).
 
     Output: every corpus doc with its cluster id, cluster size, and
     whether it is the cluster's canonical representative."""
@@ -558,7 +558,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # canonicals from them would silently corrupt downstream dedup.
         raise RuntimeError(
             f"label propagation unconverged after 24 rounds: {changed} "
-            "labels still changing — raise the round cap for this graph"
+            "labels still changing (component diameter > 24) — use "
+            "dedup_cluster_star, which contracts any graph in O(log n) rounds"
         )
 
     w = Window.partitionBy("cluster_id")
@@ -580,4 +581,163 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = clustered.unionByName(singletons).orderBy("doc_id")
     result._cached_deps = cached + upstream_deps
+    return result
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, list]:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter): this is the swap-in for adversarial
+    long-chain graphs that would trip dedup_cluster_canonical's round
+    cap. Per round: one groupBy-min + one join per star op, same
+    per-round shuffle volume as label propagation.
+
+    ``edges``: symmetric directed pairs (a, b) — both directions
+    present, no self-loops. Returns ``(labels, cached)``: a
+    (doc_id, cluster_id) frame over every edge-touching node with
+    cluster_id = MIN node id of its component, plus the list of
+    persisted intermediates for the caller to unpersist."""
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        neigh = e if large else e.filter(F.col("b") < F.col("a"))
+        mins = (
+            neigh.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("_mn"), F.col("a")).alias("m"))
+        )
+        src = e.filter(F.col("b") > F.col("a")) if large else neigh
+        pointed = src.join(mins, "a").select(F.col("b").alias("x"), F.col("m"))
+        if not large:
+            pointed = pointed.unionByName(
+                mins.select(F.col("a").alias("x"), F.col("m"))
+            )
+        und = pointed.filter(F.col("x") != F.col("m")).select(
+            F.col("x").alias("a"), F.col("m").alias("b")
+        )
+        return (
+            und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+        )
+
+    cached: list = []
+    cur = edges
+    prev_sig = None
+    for _round in range(max_rounds):
+        # localCheckpoint (not persist): TRUNCATES the logical plan.
+        # With persist alone, each round's plan nests the previous
+        # round's full lineage — Catalyst re-analyzes a tree that
+        # grows ~6 operators/round and per-round wall time balloons
+        # (measured: 6→10s→minutes by round 2 on a 59-edge chain).
+        # Checkpoint-per-round keeps analysis cost constant; same
+        # reason GraphFrames' connectedComponents checkpoints.
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        # Convergence probe: canonical (a<b) edge multiset fingerprint.
+        sig = (
+            nxt.filter(F.col("a") < F.col("b"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: a bigint sum of hashes overflows, which
+                # ANSI mode turns into a hard error (this helper also
+                # runs outside the registry wrapper's ANSI-off pin)
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+            )
+            .collect()[0]
+        )
+        sig = (sig["n"], sig["h"])
+        if cur in cached:
+            cur.unpersist()
+            cached.remove(cur)
+        cur = nxt
+        cached.append(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction unconverged after {max_rounds} rounds — "
+            "not reachable for any graph with < 2^50 nodes; indicates a bug"
+        )
+    # Converged: components are stars rooted at their min id. Leaves
+    # point at the root (leaf > root); roots label themselves.
+    leaves = (
+        cur.filter(F.col("a") > F.col("b"))
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("cluster_id"))
+    )
+    roots = (
+        cur.select(F.col("b").alias("doc_id"))
+        .distinct()
+        .join(leaves.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return leaves.unionByName(roots), cached
+
+
+@query(
+    "dedup_cluster_star",
+    oracle=f"""
+    WITH RECURSIVE
+    {_d_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS node FROM corpus
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp ORDER BY doc_id
+    """,
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_canonical's contract computed by large-star /
+    small-star contraction (:func:`_star_components`) instead of
+    min-label propagation — identical output (same oracle), different
+    convergence envelope: O(log n) rounds regardless of component
+    diameter, so adversarial chain graphs that would trip the
+    label-propagation round cap terminate here (pinned by the 60-node
+    chain in tests/test_plan_properties.py). On real dup graphs
+    (near-cliques) both converge in 2-3 rounds; propagation does one
+    shuffle/round vs contraction's two, hence propagation stays the
+    default and this is the documented escape hatch."""
+    lsh_result = dedup_minhash_lsh(spark, sf_dir)
+    upstream_deps = getattr(lsh_result, "_cached_deps", [])
+    pairs = lsh_result.select("doc_a", "doc_b")
+    docs = _corpus(spark, sf_dir).select("doc_id")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
+    edges.count()
+    labels, cached = _star_components(edges)
+    connected = edges.select(F.col("a").alias("doc_id")).distinct()
+    w = Window.partitionBy("cluster_id")
+    clustered = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+    singletons = docs.join(connected, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        F.lit(True).alias("is_canonical"),
+    )
+    result = clustered.unionByName(singletons).orderBy("doc_id")
+    result._cached_deps = [edges] + cached + upstream_deps
     return result

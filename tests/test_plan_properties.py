@@ -100,3 +100,33 @@ def test_contamination_broadcasts_benchmark_side(plans):
     plan = plans("benchmark_contamination")
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_components_converges_on_long_chain(spark):
+    """The case min-label propagation's 24-round cap CANNOT handle: a
+    60-node chain (diameter 59). Large-star/small-star contracts it in
+    O(log n) rounds (SCALE.md's escape hatch, dedup_cluster_star) and
+    labels every node with the component minimum."""
+    from data_ingestion_task_spark.plans.dedup_plans import _star_components
+
+    n = 60
+    chain = [(i, i + 1) for i in range(n - 1)] + [(i + 1, i) for i in range(n - 1)]
+    # a second, disjoint chain offset by 1000 — labels must not bleed
+    chain += [(1000 + i, 1001 + i) for i in range(9)] + [
+        (1001 + i, 1000 + i) for i in range(9)
+    ]
+    edges = spark.createDataFrame(chain, "a long, b long")
+    labels, cached = _star_components(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    for dep in cached:
+        dep.unpersist()
+    assert got == {**{i: 0 for i in range(n)}, **{1000 + i: 1000 for i in range(10)}}
+
+
+def test_star_cluster_query_matches_propagation_query(spark, sf_dir):
+    """dedup_cluster_star and dedup_cluster_canonical implement the
+    same contract — identical output row-for-row on the same corpus."""
+    qs = registry.queries_dict()
+    a = sorted(map(tuple, qs["dedup_cluster_canonical"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, qs["dedup_cluster_star"](spark, sf_dir).collect()))
+    assert a == b
