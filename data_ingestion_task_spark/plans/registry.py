@@ -230,6 +230,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        corpus_plans,
         dedup_plans,
         doctype_plans,
         encode_plans,
