@@ -17,23 +17,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.pii import PII_PATTERNS, redact_pii
 from ..functions.text import hash64, word_len, word_shingles
 from ..sources.tables import load_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
-# PII detection / redaction
+# PII detection / redaction (regexes + redactor: functions/pii.py —
+# shared with the streaming redacting sink, streaming/enrich.py)
 # ---------------------------------------------------------------------------
-
-#: Detection regexes — shared verbatim by the Spark plan and the DuckDB
-#: oracle (Java regex and RE2 agree on this subset: classes, bounded
-#: repetition, \b, \d). Keyed by rule name; applied in sorted order.
-PII_PATTERNS: dict[str, str] = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\(\d{3}\) \d{3}-\d{4}",
-    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-}
 
 # The synthetic documents table is PII-free word soup, so the query
 # demonstrates redaction on DETERMINISTIC injected spans keyed to
@@ -98,15 +90,6 @@ def _d_injected() -> str:
                      || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
                 ELSE '' END
     """
-
-
-def redact_pii(text: Column) -> Column:
-    """Apply every PII rule as a global ``regexp_replace`` (rule-name
-    order); the library entry point a sink calls before writing."""
-    out = text
-    for rule in sorted(PII_PATTERNS):
-        out = F.regexp_replace(out, PII_PATTERNS[rule], f"[{rule.upper()}]")
-    return out
 
 
 @query(

@@ -37,14 +37,17 @@ from pyspark.sql.types import StructType
 from ..functions.text import char_len, fingerprint_md5, lang_id, quality_score, word_len
 
 
-def ingest_transform(df: DataFrame) -> DataFrame:
+def ingest_transform(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Document consolidation: derive lengths, fingerprint, language
     guess, quality score. Pure column expressions — identical under
-    batch and streaming execution."""
+    batch and streaming execution. ``extra_cols`` names pass-through
+    columns a caller added upstream (e.g. the redacting sink's
+    provenance count)."""
     return df.select(
         "doc_id",
         "text",
         "source",
+        *extra_cols,
         char_len(F.col("text")).alias("char_len"),
         word_len(F.col("text")).alias("word_len"),
         fingerprint_md5(F.col("text")).alias("fingerprint"),
