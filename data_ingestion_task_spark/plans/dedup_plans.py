@@ -623,6 +623,13 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
     cached: list = []
     cur = edges
     prev_sig = None
+    # Partition budget for the per-round checkpoints: inherit the
+    # (AQE-coalesced) width of the input edge set rather than letting
+    # union+distinct double it every round — on a small corpus the
+    # loop otherwise materializes 64/128-task micro-stages whose
+    # scheduling overhead dominates (measured ~2x of the loop cost at
+    # sf0.1); at scale the input width carries the right parallelism.
+    parts = max(edges.rdd.getNumPartitions(), 1)
     for _round in range(max_rounds):
         # localCheckpoint (not persist): TRUNCATES the logical plan.
         # With persist alone, each round's plan nests the previous
@@ -631,7 +638,11 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
         # (measured: 6→10s→minutes by round 2 on a 59-edge chain).
         # Checkpoint-per-round keeps analysis cost constant; same
         # reason GraphFrames' connectedComponents checkpoints.
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = (
+            star(star(cur, large=True), large=False)
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
         # Convergence probe: canonical (a<b) edge multiset fingerprint.
         sig = (
             nxt.filter(F.col("a") < F.col("b"))
