@@ -6,8 +6,8 @@ a reliability diagram"; scalar ECE itself: README.md:4-17, implemented
 as eval_plans.ece_calibration).
 
 Scale: identical shape to ece_calibration — one hash-agg over the
-scored corpus down to 10 bin rows, then windows/max over those 10 rows
-only (free at that size). The Brier sum crosses every document, so the
+scored corpus down to 10 bin rows, then a 10-row aggregate for the
+summary metrics. The Brier sum crosses every document, so the
 per-doc squared error is carried as fixed-scale DECIMAL to keep the
 grand total order-independent."""
 
@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import hash64
 from .eval_plans import _classified, _d_classified, _d_hash64
@@ -106,15 +105,14 @@ def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_correct",
         "sum_sq",
     )
-    w_all = Window.partitionBy()  # 10 rows — single-partition window is free
-    tot = bins.select(
-        F.sum("n").over(w_all).cast("bigint").alias("n"),
-        F.sum("sum_conf").over(w_all).alias("sc"),
-        F.sum("sum_correct").over(w_all).alias("scor"),
-        F.sum("gap_w").over(w_all).alias("gw"),
-        F.max("value").over(w_all).alias("mce"),
-        F.sum("sum_sq").over(w_all).cast("double").alias("ssq"),
-    ).limit(1)
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_conf").alias("sc"),
+        F.sum("sum_correct").alias("scor"),
+        F.sum("gap_w").alias("gw"),
+        F.max("value").alias("mce"),
+        F.sum("sum_sq").cast("double").alias("ssq"),
+    )
     summary = tot.select(
         F.explode(
             F.array(

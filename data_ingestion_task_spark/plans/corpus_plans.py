@@ -17,9 +17,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.pii import PII_PATTERNS, redact_pii
+from ..functions.pii import PII_PATTERNS, pii_span_count, redact_pii
 from ..functions.text import hash64, word_len, word_shingles
+from ..sources.shards import shard_keys
 from ..sources.tables import load_table
+from .pretrain_plans import _d_shingles
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -149,10 +151,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         rule: F.regexp_count(injected, F.lit(pat)).alias(f"c_{rule}")
         for rule, pat in PII_PATTERNS.items()
     }
-    residual_pat = "|".join(PII_PATTERNS[r] for r in sorted(PII_PATTERNS))
     counted = d.select(
         *cols.values(),
-        F.regexp_count(redact_pii(injected), F.lit(residual_pat)).alias("c_residual"),
+        pii_span_count(redact_pii(injected)).alias("c_residual"),
     )
     names = [*PII_PATTERNS.keys(), "residual_after_redaction"]
     keys = [*[f"c_{r}" for r in PII_PATTERNS], "c_residual"]
@@ -181,27 +182,12 @@ _REP_TOP_K = 2  # top n-gram fraction uses word bigrams (Gopher table A1)
 _REP_DUP_K = 5  # duplicate n-gram fraction uses 5-gram shingles
 
 
-def _d_rep_shingles(k: int) -> str:
-    """DuckDB twin of functions.text.word_shingles(text, k) — same
-    normalize (lower, strip non-alnum, collapse ws) and same short-doc
-    whole-text fallback."""
-    norm = (
-        "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
-        "'\\s+', ' ', 'g')"
-    )
-    ws = f"str_split({norm}, ' ')"
-    return (
-        f"list_transform(generate_series(1, greatest(len({ws}) - {k - 1}, 1)), "
-        f"i -> array_to_string({ws}[i : i + {k - 1}], ' '))"
-    )
-
-
 @query(
     "repetition_profile",
     oracle=f"""
     WITH g2 AS (
       SELECT doc_id,
-             ('0x' || substr(md5(unnest({_d_rep_shingles(_REP_TOP_K)})), 1, 15))::BIGINT AS sh
+             ('0x' || substr(md5(unnest({_d_shingles("text", _REP_TOP_K)})), 1, 15))::BIGINT AS sh
       FROM documents
     ), c2 AS (
       SELECT doc_id, sh, COUNT(*) AS c FROM g2 GROUP BY doc_id, sh
@@ -211,7 +197,7 @@ def _d_rep_shingles(k: int) -> str:
       FROM c2 GROUP BY doc_id
     ), g5 AS (
       SELECT doc_id,
-             ('0x' || substr(md5(unnest({_d_rep_shingles(_REP_DUP_K)})), 1, 15))::BIGINT AS sh
+             ('0x' || substr(md5(unnest({_d_shingles("text", _REP_DUP_K)})), 1, 15))::BIGINT AS sh
       FROM documents
     ), c5 AS (
       SELECT doc_id, sh, COUNT(*) AS c FROM g5 GROUP BY doc_id, sh
@@ -308,7 +294,7 @@ N_SHARDS = 64
       SELECT
         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           % {N_SHARDS} AS shard_id,
-        ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        ('0x' || substr(md5('order:e0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           AS order_key,
         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
              ELSE len(str_split_regex(trim(text), '\\s+')) END AS n_tokens
@@ -337,15 +323,8 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one narrow hash projection + one 64-ary hash-agg; token
     sums are exact integers (order-independent)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    keyed = d.select(
-        (
-            hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
-            % N_SHARDS
-        ).alias("shard_id"),
-        hash64(F.concat(F.lit("order:"), F.col("doc_id").cast("string"))).alias(
-            "order_key"
-        ),
-        word_len(F.col("text")).alias("n_tokens"),
+    keyed = shard_keys(d, "doc_id", N_SHARDS, epoch=0).select(
+        "shard_id", "order_key", word_len(F.col("text")).alias("n_tokens")
     )
     return (
         keyed.groupBy("shard_id")
@@ -416,9 +395,11 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-written recipe dict. Output audits realized vs target rate.
 
     Scale: the rate table is a source-cardinality aggregate (~20 rows;
-    its unpartitioned window is free at that size) broadcast back onto
-    the corpus for one map-side filter — no per-row state, no rand(),
-    restart-safe, one doc-side shuffle total (the final groupBy)."""
+    its unpartitioned window is free at that size), persisted and
+    broadcast back onto the corpus for one map-side filter — no
+    per-row state, no rand(), restart-safe. Doc-side work: one scan +
+    shuffle for the rate aggregate, one scan + shuffle for the kept
+    groupBy."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     per_source = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_total"))
     w_all = Window.partitionBy()
@@ -444,6 +425,10 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_total"),
             ).alias("target_rate"),
         )
+        # ~20 rows, referenced twice (broadcast into kept + the final
+        # join): persist so the documents scan + per-source agg behind
+        # it runs once, not once per reference.
+        .persist()
     )
     r = hash64(F.concat(F.lit("mixT:"), F.col("doc_id").cast("string"))) % 10000
     marked = d.select("source", r.alias("r"))
@@ -461,7 +446,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept")
         )
     )
-    return (
+    result = (
         rates.join(kept, "source")
         .select(
             "source",
@@ -475,3 +460,5 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    result._cached_deps = [rates]  # library callers: unpersist when done
+    return result

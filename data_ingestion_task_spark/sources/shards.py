@@ -33,6 +33,16 @@ from ..functions.text import hash64
 
 N_SHARDS_DEFAULT = 64
 
+#: Salt schemes shared with plans/corpus_plans.corpus_shard_manifest —
+#: the manifest's reported key ranges must match what this writer
+#: materializes, so both build keys through these helpers / the same
+#: literal strings in the manifest's SQL oracle.
+SHARD_SALT = "shard:"
+
+
+def order_salt(epoch: int) -> str:
+    return f"order:e{epoch}:"
+
 
 def shard_keys(
     df: DataFrame,
@@ -47,9 +57,9 @@ def shard_keys(
     global permutation at zero data movement."""
     sid = F.col(id_col).cast("string")
     return df.withColumn(
-        "shard_id", hash64(F.concat(F.lit("shard:"), sid)) % n_shards
+        "shard_id", hash64(F.concat(F.lit(SHARD_SALT), sid)) % n_shards
     ).withColumn(
-        "order_key", hash64(F.concat(F.lit(f"order:e{epoch}:"), sid))
+        "order_key", hash64(F.concat(F.lit(order_salt(epoch)), sid))
     )
 
 

@@ -48,9 +48,7 @@ def start_enriched_event_sink(
 ) -> StreamingQuery:
     """inbox parquet stream ⋈ broadcast dim → in-memory table
     ``query_name`` (swap for a parquet sink in production)."""
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 64).parquet(inbox)
-    )
+    stream = document_stream(spark, inbox, schema)
     return (
         enrich_stream(stream, dim, key)
         .writeStream.format("memory")

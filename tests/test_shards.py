@@ -41,6 +41,32 @@ def test_shards_conserve_and_order(spark, sf_dir, tmp_path):
     assert total == docs.count()
 
 
+def test_manifest_reports_the_keys_the_writer_materializes(spark, sf_dir):
+    """corpus_shard_manifest and the epoch-0 writer share salts
+    (sources/shards.py), so the manifest's per-shard key ranges must
+    equal what shard_keys produces at the manifest's shard count."""
+    from pyspark.sql import functions as F2
+
+    from data_ingestion_task_spark.plans.corpus_plans import (
+        N_SHARDS as MAN_SHARDS,
+        corpus_shard_manifest,
+    )
+
+    docs = _doc_sample(spark, sf_dir)
+    expected = {
+        r["shard_id"]: (r["mn"], r["mx"])
+        for r in shard_keys(docs, n_shards=MAN_SHARDS, epoch=0)
+        .groupBy("shard_id")
+        .agg(F2.min("order_key").alias("mn"), F2.max("order_key").alias("mx"))
+        .collect()
+    }
+    man = {
+        r["shard_id"]: (r["min_order_key"], r["max_order_key"])
+        for r in corpus_shard_manifest(spark, sf_dir).collect()
+    }
+    assert man == expected
+
+
 def test_epoch_reshuffle_keeps_membership_changes_order(spark, sf_dir):
     docs = _doc_sample(spark, sf_dir).limit(200)
     e0 = shard_keys(docs, n_shards=8, epoch=0).select("doc_id", "shard_id", "order_key")
