@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import fingerprint_md5, hash64, word_shingles, words
+from ..functions.text import fingerprint_md5, hash64, word_len, word_shingles, words
 from ..sources.tables import load_table
 from .registry import query
 
@@ -752,3 +752,101 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = clustered.unionByName(singletons).orderBy("doc_id")
     result._cached_deps = [edges] + cached + upstream_deps
     return result
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware sampling weights: soft dedup as a mixture input
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_sampling_weights",
+    oracle=f"""
+    WITH RECURSIVE
+    {_d_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS src, doc_id AS node FROM corpus
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    sized AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM comp
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(str_split_regex(trim(text), '\\s+')) END AS tok
+      FROM corpus
+    ),
+    joined AS (
+      SELECT s.doc_id, s.cluster_size, t.tok, d.source
+      FROM sized s JOIN toks t USING (doc_id)
+      JOIN documents d ON d.doc_id = s.doc_id % 100000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duped_docs,
+           CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+           round(CAST(SUM((tok * 1000000) // cluster_size) AS DOUBLE) / 1000000, 6)
+             AS weighted_tokens
+    FROM joined GROUP BY source ORDER BY source
+    """,
+)
+def dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup as a mixture input: instead of hard-deleting near
+    duplicates, weight every document 1/cluster_size (each duplicate
+    cluster contributes one document's worth of probability mass —
+    the count-based downweighting used when exact deletion would bias
+    a corpus), then roll the dedup-adjusted token mass up per source.
+    ``weighted_tokens`` is what the mixture sampler
+    (pretrain_plans.mixture_weighted_sample / mixture_temperature)
+    should budget against instead of ``raw_tokens``; the gap between
+    the two columns is each source's duplication inflation.
+
+    Cross-engine exactness: per-doc weighted tokens are computed as
+    the integer floor of tok·10⁶/cluster_size (both engines use
+    bigint floor-division), so the per-source sum is order-independent
+    and exact — no float accumulation; the single final division is
+    deterministic.
+
+    Plan shape: the verified cluster assignment is reused from
+    :func:`dedup_cluster_canonical` (its persist-per-round loop is the
+    only iterative part); on top of it this adds one broadcast join to
+    the documents dim (planted copies resolve their source via
+    base_id = doc_id % 100000) and one source-cardinality hash agg —
+    map-side partial aggregation absorbs the corpus volume."""
+    clusters = dedup_cluster_canonical(spark, sf_dir)
+    deps = getattr(clusters, "_cached_deps", [])
+    toks = _corpus(spark, sf_dir).select("doc_id", word_len(F.col("text")).alias("tok"))
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    joined = (
+        clusters.select("doc_id", "cluster_size")
+        .join(toks, "doc_id")
+        .withColumn("base_id", F.col("doc_id") % 100000)
+        .join(F.broadcast(src), "base_id")
+    )
+    out = (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("cluster_size") > 1).cast("bigint")).alias("n_duped_docs"),
+            F.sum("tok").cast("bigint").alias("raw_tokens"),
+            F.round(
+                F.sum(F.expr("(tok * CAST(1000000 AS BIGINT)) div cluster_size")).cast(
+                    "double"
+                )
+                / 1000000,
+                6,
+            ).alias("weighted_tokens"),
+        )
+        .orderBy("source")
+    )
+    out._cached_deps = deps
+    return out

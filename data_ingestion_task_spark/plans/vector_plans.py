@@ -505,3 +505,80 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows, f"n_bits bigint, n_queries bigint, avg_candidates double, recall_at_{_RECALL_K} double"
         ).orderBy("n_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space twin of
+# pretrain_plans.benchmark_contamination)
+# ---------------------------------------------------------------------------
+
+_DECON_TAU = 0.35  # same near-isotropic-calibrated threshold as embedding_near_dup
+
+
+@query(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, {_D_VNORM} AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v FROM n WHERE vec_id % 29 = 0),
+    hits AS (
+      SELECT c.vec_id, b.bench_id,
+             list_dot_product(c.v, b.v) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_dot_product(c.v, b.v) DESC, b.bench_id) AS rn
+      FROM n c JOIN bench b ON list_dot_product(c.v, b.v) >= {_DECON_TAU}
+    )
+    SELECT vec_id, bench_id, round(sim, 9) AS sim
+    FROM hits WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination screen — the semantic twin of
+    ``benchmark_contamination`` (pretrain_plans), catching paraphrased
+    benchmark leakage that n-gram shingles miss: flag every corpus
+    vector whose cosine to ANY benchmark vector reaches {_DECON_TAU},
+    reporting its closest benchmark item (ties broken by min bench_id).
+    The benchmark set is synthesized from the corpus itself (every
+    29th vector), so each bench member flags itself at sim 1.0 —
+    exact copies are the worst contamination — and organic
+    near-threshold neighbors exercise the boundary.
+
+    Scale shape (the reason this beats the all-pairs SQL twin at
+    100 TB): benchmark sets are tiny relative to a training corpus, so
+    the bench side broadcasts — ``candidate_pairs_vectorized`` holds
+    it as one float64 matrix per executor (gated by
+    BroadcastIndexTooLarge), each corpus Arrow batch does a single
+    BLAS matmul, and only pairs that can reach the threshold are
+    emitted for exact JVM re-scoring. Zero shuffles before the 1-row
+    per-doc window; output is bit-identical to the naive cross join.
+    """
+    from ..operators.knn import candidate_pairs_vectorized
+
+    e = normalize_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    bench = e.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    cand = candidate_pairs_vectorized(
+        bench,
+        e.select("vec_id", "embedding"),
+        query_id="vec_id",
+        index_id="bench_id",
+        threshold=_DECON_TAU,
+    )
+    rescored = (
+        cand.join(e, "vec_id")
+        .join(
+            F.broadcast(bench.select("bench_id", F.col("embedding").alias("_bv"))),
+            "bench_id",
+        )
+        .select("vec_id", "bench_id", dot(F.col("embedding"), F.col("_bv")).alias("sim"))
+        .filter(F.col("sim") >= _DECON_TAU)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("bench_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bench_id", F.round("sim", 9).alias("sim"))
+        .orderBy("vec_id")
+    )
