@@ -582,3 +582,208 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bench_id", F.round("sim", 9).alias("sim"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall/cost audit — the (nlist, nprobe) twin of ann_recall_audit
+# ---------------------------------------------------------------------------
+
+_IVF_AUDIT_PROBES = (1, 2, 4)
+_IVF_AUDIT_MOD = 25
+
+
+def _d_ivf_branch(p: int) -> str:
+    """One n_probe setting of the IVF audit as a DuckDB SELECT."""
+    return f"""
+    SELECT {p} AS n_probe,
+           (SELECT COUNT(*) FROM q0) AS n_queries,
+           CAST(CAST((SELECT COALESCE(SUM(c), 0) FROM (
+              SELECT COUNT(*) AS c FROM cp{p} GROUP BY query_id)) AS DOUBLE)
+              / (SELECT COUNT(*) FROM q0) AS DOUBLE) AS avg_candidates,
+           CAST(CAST((SELECT COUNT(*) FROM cr{p} l
+                      JOIN er e ON e.query_id = l.query_id
+                                AND e.neighbor_id = l.neighbor_id
+                      WHERE l.rnk <= {_RECALL_K} AND e.rnk <= {_RECALL_K}) AS DOUBLE)
+              / ({_RECALL_K} * (SELECT COUNT(*) FROM q0)) AS DOUBLE) AS recall_at_{_RECALL_K}
+    """
+
+
+@query(
+    "ivf_recall_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_D_VNORM} AS v FROM embeddings
+    ),
+    q0 AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 50 = 0),
+    x0 AS (SELECT vec_id AS neighbor_id, v FROM n WHERE vec_id % 5 <> 0),
+    ep AS (SELECT q0.query_id, x0.neighbor_id, list_dot_product(q0.v, x0.v) AS sim
+           FROM q0 CROSS JOIN x0),
+    er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk FROM ep),
+    cent AS (SELECT neighbor_id AS centroid_id, v AS cv FROM x0
+             WHERE neighbor_id % {_IVF_AUDIT_MOD} = 1),
+    assign AS (
+      SELECT x0.neighbor_id, x0.v, cent.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY x0.neighbor_id
+                                ORDER BY list_dot_product(x0.v, cent.cv) DESC, cent.centroid_id) AS crn
+      FROM x0 CROSS JOIN cent
+    ),
+    inverted AS (SELECT neighbor_id, v, centroid_id FROM assign WHERE crn = 1),
+    probe AS (
+      SELECT q0.query_id, q0.v AS qv, cent.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                                ORDER BY list_dot_product(q0.v, cent.cv) DESC, cent.centroid_id) AS prn
+      FROM q0 CROSS JOIN cent
+    ),
+    {", ".join(
+        f'''cp{p} AS (SELECT pr.query_id, i.neighbor_id,
+                     list_dot_product(pr.qv, i.v) AS sim
+              FROM (SELECT query_id, qv, centroid_id FROM probe WHERE prn <= {p}) pr
+              JOIN inverted i USING (centroid_id)),
+    cr{p} AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM cp{p})'''
+        for p in _IVF_AUDIT_PROBES
+    )}
+    {" UNION ALL ".join(_d_ivf_branch(p) for p in _IVF_AUDIT_PROBES)}
+    ORDER BY n_probe
+    """,
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (nlist, nprobe) tuning table for the IVF path — the exact
+    counterpart of :func:`ann_recall_audit` for :func:`knn_join_ivf`:
+    for each n_probe, recall@{_RECALL_K} against the exact broadcast
+    search and the average number of candidates examined per query.
+    More probes → more inverted lists scanned → higher recall at
+    linearly higher cost; this is the FAISS nprobe sweep an operator
+    runs before fixing production parameters.
+
+    Same 1-in-50 deterministic query sample as the LSH audit, so the
+    two tables are directly comparable. Shared-once stages: the exact
+    pass, the centroid codebook, the inverted-list assignment, and the
+    full probe ranking (each branch only filters prn <= n_probe) —
+    then every branch is tagged and unioned into ONE aggregate action,
+    the same single-job shape as ann_recall_audit."""
+    from pyspark.sql.window import Window
+
+    q, x = _split(spark, sf_dir)
+    q = q.filter(F.col("query_id") % 50 == 0)
+    exact = (
+        knn_join_exact(
+            x.select("neighbor_id", "embedding"),
+            q.select("query_id", "embedding"),
+            k=_RECALL_K,
+        )
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()
+    n_queries = q.count()
+
+    qn = normalize_embeddings(q.select("query_id", "embedding")).select(
+        "query_id", F.col("embedding").alias("_qv")
+    )
+    xn = normalize_embeddings(x.select("neighbor_id", "embedding")).select(
+        "neighbor_id", F.col("embedding").alias("_xv")
+    )
+    cent = xn.filter(F.col("neighbor_id") % _IVF_AUDIT_MOD == 1).select(
+        F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv")
+    )
+    # Same max_by / sorted-array shapes as knn_join_ivf (see the scale
+    # rationale there): assignment reduces map-side to one struct per
+    # index row; probe selection ships one compact struct array per
+    # query, with posexplode recovering the probe rank for the
+    # per-branch prn <= n_probe filters.
+    inverted = (
+        xn.join(F.broadcast(cent), F.lit(True))
+        .select(
+            "neighbor_id",
+            "_xv",
+            F.struct(
+                dot(F.col("_xv"), F.col("_cv")).alias("c_sim"),
+                (-F.col("centroid_id")).alias("neg_centroid"),
+            ).alias("_s"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("_xv").alias("_xv"),
+            (-F.expr("max_by(_s.neg_centroid, _s)")).alias("centroid_id"),
+        )
+        # Referenced by every n_probe branch of the union — persist so
+        # the assignment (a |index|x|codebook| dot-product pass) runs
+        # once, not once per branch.
+        .persist()
+    )
+    max_probe = max(_IVF_AUDIT_PROBES)
+    probes = (
+        qn.join(F.broadcast(cent), F.lit(True))
+        .select(
+            "query_id",
+            "_qv",
+            F.struct(
+                (-dot(F.col("_qv"), F.col("_cv"))).alias("neg_sim"),
+                F.col("centroid_id").alias("centroid_id"),
+            ).alias("_p"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("_qv").alias("_qv"),
+            F.slice(F.sort_array(F.collect_list("_p")), 1, max_probe).alias("_top"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            F.posexplode(F.col("_top.centroid_id")).alias("pos", "centroid_id"),
+        )
+        .withColumn("prn", F.col("pos") + 1)
+    )
+
+    branch_frames = []
+    for p in _IVF_AUDIT_PROBES:
+        pairs = (
+            probes.filter(F.col("prn") <= p)
+            .select("query_id", "_qv", "centroid_id")
+            .join(inverted, "centroid_id")
+            .select("query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        ranked = pairs.withColumn("rnk", F.row_number().over(w))
+        joined = ranked.join(
+            exact.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        branch_frames.append(joined.withColumn("n_probe", F.lit(p)))
+    union = branch_frames[0]
+    for bf in branch_frames[1:]:
+        union = union.unionByName(bf)
+    stats = (
+        union.groupBy("n_probe")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.sum(
+                F.when((F.col("rnk") <= _RECALL_K) & F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("hits"),
+        )
+        .collect()
+    )
+    by_probe = {r["n_probe"]: r for r in stats}
+    rows = []
+    for p in _IVF_AUDIT_PROBES:
+        r = by_probe.get(p)
+        n_cand = r["n_cand"] if r is not None else 0
+        hits = r["hits"] if r is not None else 0
+        rows.append(
+            (
+                p,
+                n_queries,
+                float(n_cand) / n_queries,
+                float(hits) / (_RECALL_K * n_queries),
+            )
+        )
+    exact.unpersist()
+    inverted.unpersist()
+    return (
+        q.sparkSession.createDataFrame(
+            rows,
+            f"n_probe bigint, n_queries bigint, avg_candidates double, recall_at_{_RECALL_K} double",
+        ).orderBy("n_probe")
+    )
