@@ -38,7 +38,8 @@ import random
 import sys
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+_SCALE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
+DST = os.path.join(_SCALE_ROOT, "sf1")
 REPLICAS = 10
 
 # table -> {column: offset_per_replica}; offsets chosen as clean powers
@@ -67,11 +68,18 @@ OUT_PARTS = {"lineitem": 32, "orders": 16, "events": 16}
 
 
 def main() -> int:
+    global DST, REPLICAS
     force = "--force" in sys.argv
     only = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1]
         force = True
+    # --replicas N builds an Nx dataset at .scale/sf{N/10} (e.g.
+    # --replicas 30 -> .scale/sf3, the 30x probe corpus).
+    if "--replicas" in sys.argv:
+        REPLICAS = int(sys.argv[sys.argv.index("--replicas") + 1])
+        label = f"sf{REPLICAS // 10}" if REPLICAS % 10 == 0 else f"x{REPLICAS}"
+        DST = os.path.join(_SCALE_ROOT, label)
     if os.path.exists(os.path.join(DST, "_DONE")) and not force:
         print(f"{DST} already built; --force to rebuild")
         return 0
@@ -133,7 +141,7 @@ def main() -> int:
 
     with open(os.path.join(DST, "_DONE"), "w") as f:
         f.write("ok\n")
-    print(f"sf1 ready at {DST}")
+    print(f"{REPLICAS}x dataset ready at {DST}")
     return 0
 
 

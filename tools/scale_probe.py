@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = ".scale/sf1"
+BUDGET_PER_10X = 15.0  # ratio budget is 15x per 10x of data
 
 DEFAULT = [
     "ann_recall_audit",
@@ -47,6 +48,17 @@ def main() -> int:
         i = args.index("--repeats")
         repeats = int(args[i + 1])
         del args[i : i + 2]
+    # --big DIR LABEL SCALE: probe sf0.1 against an alternative big
+    # dataset, e.g. `--big .scale/sf3 sf3 30` for the 30x corpus
+    # (results keyed sf3, budget scaled to 45x, merged into
+    # scale_probe_sf3.json).
+    big_dir, big_label, big_scale = SF1, "sf1", 10.0
+    if "--big" in args:
+        i = args.index("--big")
+        big_dir, big_label, big_scale = args[i + 1], args[i + 2], float(args[i + 3])
+        del args[i : i + 4]
+    out_file = "scale_probe.json" if big_label == "sf1" else f"scale_probe_{big_label}.json"
+    budget = BUDGET_PER_10X * big_scale / 10.0
     names = args or DEFAULT
 
     from pyspark.sql import SparkSession
@@ -69,7 +81,7 @@ def main() -> int:
     for name in names:
         spec = registry.REGISTRY[name]
         row: dict = {}
-        for key, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        for key, sf_dir in (("sf0.1", SF01), (big_label, big_dir)):
             best = None
             n_rows = None
             for _ in range(repeats):
@@ -81,19 +93,19 @@ def main() -> int:
             row[key] = round(best, 2)
             row[f"{key}_rows"] = n_rows
             print(f"{name} @ {key}: {row[key]}s ({n_rows} rows)", flush=True)
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else None
-        row["linear"] = row["ratio"] is not None and row["ratio"] <= 15.0
+        row["ratio"] = round(row[big_label] / row["sf0.1"], 1) if row["sf0.1"] else None
+        row["linear"] = row["ratio"] is not None and row["ratio"] <= budget
         out[name] = row
         print(f"  -> ratio {row['ratio']}x {'OK' if row['linear'] else 'SUPER-LINEAR'}", flush=True)
 
     # merge over prior runs so partial re-probes keep the full table
     try:
-        with open("scale_probe.json") as f:
+        with open(out_file) as f:
             merged = json.load(f)
     except (OSError, json.JSONDecodeError):
         merged = {}
     merged.update(out)
-    with open("scale_probe.json", "w") as f:
+    with open(out_file, "w") as f:
         json.dump(merged, f, indent=1)
         f.write("\n")
     bad = [n for n, r in out.items() if not r["linear"]]
