@@ -260,16 +260,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane LSH → equi-join on bucket → exact cosine re-rank
     within bucket. Replaces the O(N·M) product with an O(N) shuffle on
     a 16-ary key; recall tunes via bit count / multi-probe."""
-    from pyspark.sql.window import Window
-
     from ..functions.vectors import dot
     from ..operators.knn import lsh_signature
 
     q, x = _split(spark, sf_dir)
     # One signature computation per side, one bucket join; top-1 and
-    # the examined-candidate count come from the same window pass
-    # (signatures are 4 HOF dot products per row — recomputing them
-    # for a second join doubled this query's cost).
+    # the examined-candidate count come from ONE hash-aggregate
+    # (max(struct(sim, -id)) + count) — map-side combinable, no
+    # sort-based window over the candidate pairs (the same
+    # window→agg rewrite knn_join_ivf got; signatures are 4 HOF dot
+    # products per row, so they are computed once per side).
     sig_q = normalize_embeddings(q.select("query_id", "embedding")).select(
         "query_id",
         F.col("embedding").alias("_qv"),
@@ -283,21 +283,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sig_q.join(sig_x, "bucket").select(
         "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
     )
-    w = Window.partitionBy("query_id")
-    ranked = pairs.select(
+    best = pairs.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("neg_id"))
+        ).alias("best"),
+        F.count("*").alias("n_candidates"),
+    )
+    return best.select(
         "query_id",
-        "neighbor_id",
-        "sim",
-        F.row_number()
-        .over(w.orderBy(F.desc("sim"), F.asc("neighbor_id")))
-        .alias("rnk"),
-        F.count("*").over(w).alias("n_candidates"),
-    )
-    return (
-        ranked.filter(F.col("rnk") == 1)
-        .select("query_id", "neighbor_id", F.round("sim", 9).alias("sim"), "n_candidates")
-        .orderBy("query_id")
-    )
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.round(F.col("best.sim"), 9).alias("sim"),
+        "n_candidates",
+    ).orderBy("query_id")
 
 
 @query(
