@@ -784,3 +784,177 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"n_probe bigint, n_queries bigint, avg_candidates double, recall_at_{_RECALL_K} double",
         ).orderBy("n_probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF codebook training: spherical k-means (the missing production step
+# between "deterministic codebook" and a real 100 TB IVF deployment)
+# ---------------------------------------------------------------------------
+
+_KM_SEED_MOD = _IVF_AUDIT_MOD  # same seeding as the IVF queries/audit
+_KM_ROUNDS = 2
+
+
+def _d_km_assign(x_cte: str, c_cte: str, keep_sim: bool = False) -> str:
+    """One DuckDB Lloyd assignment: argmax-cosine with centroid_id
+    tie-break (the window mirrors Spark's max(struct(sim, -id)))."""
+    sim_col = ", sim" if keep_sim else ""
+    return f"""
+      SELECT neighbor_id, v, centroid_id{sim_col} FROM (
+        SELECT x.neighbor_id, x.v, c.centroid_id,
+               list_dot_product(x.v, c.cv) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY x.neighbor_id
+                                  ORDER BY list_dot_product(x.v, c.cv) DESC,
+                                           c.centroid_id) AS rn
+        FROM {x_cte} x CROSS JOIN {c_cte} c
+      ) WHERE rn = 1
+    """
+
+
+def _d_km_recompute(a_cte: str) -> str:
+    """DuckDB spherical-mean recompute. Component sums are DECIMAL
+    (order-independent, exact); the mean vector is rebuilt in pos
+    order and renormalized with a SEQUENTIAL list_dot_product, so the
+    refined codebook is bit-identical to the Spark side."""
+    return f"""
+      SELECT centroid_id,
+             list_transform(m, y -> y / sqrt(list_dot_product(m, m))) AS cv
+      FROM (
+        SELECT centroid_id, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS m
+        FROM (
+          SELECT centroid_id, i AS pos,
+                 SUM(CAST(round(v[i], 9) AS DECIMAL(12,9))) AS s,
+                 COUNT(*) AS c
+          FROM {a_cte} CROSS JOIN range(1, {DIM + 1}) t(i)
+          GROUP BY centroid_id, i
+        ) GROUP BY centroid_id
+      )
+    """
+
+
+@query(
+    "ivf_kmeans_refine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_D_VNORM} AS v FROM embeddings
+    ),
+    x0 AS (SELECT vec_id AS neighbor_id, v FROM n WHERE vec_id % 5 <> 0),
+    c0 AS (SELECT neighbor_id AS centroid_id, v AS cv FROM x0
+           WHERE neighbor_id % {_KM_SEED_MOD} = 1),
+    a1 AS ({_d_km_assign('x0', 'c0')}),
+    c1 AS ({_d_km_recompute('a1')}),
+    a2 AS ({_d_km_assign('x0', 'c1')}),
+    c2 AS ({_d_km_recompute('a2')}),
+    a3 AS ({_d_km_assign('x0', 'c2', keep_sim=True)})
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(CAST(round(sim, 9) AS DECIMAL(12,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_sim
+    FROM a3 GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means codebook training for the IVF path — the
+    FAISS ``IndexIVFFlat.train()`` analogue the deterministic codebook
+    of ``ann_ivf_topk`` / ``ivf_recall_audit`` stands in for: seeds =
+    index ids ≡ 1 mod {_KM_SEED_MOD}, then {_KM_ROUNDS} unrolled Lloyd
+    rounds (assign to argmax-cosine centroid, recompute the spherical
+    mean), then a final assignment reporting per-centroid membership
+    and mean member-to-centroid cosine. Run on a sample before a
+    100 TB ingest to pick nlist ≈ √N centroids that match the data.
+
+    Scale: each assignment is a broadcast-codebook join + one
+    map-side-combined max(struct) aggregate (no shuffle of the
+    product); each recompute is a posexplode → (centroid, dim)-ary
+    hash-agg — both linear in N. Rounds are driver-sequenced like any
+    production k-means. Cross-engine parity: component sums and sim
+    sums go through DECIMAL(12,9) (order-independent), and the
+    renormalization is a sequential HOF reduction in both engines, so
+    the refined codebook — and therefore every assignment — is
+    bit-identical to the DuckDB twin."""
+
+    e = load_table(spark, sf_dir, "embeddings")
+    xn = (
+        normalize_embeddings(
+            e.filter(F.col("vec_id") % 5 != 0).select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            )
+        )
+        .select("neighbor_id", F.col("embedding").alias("_xv"))
+        .persist()  # scanned once per assignment round
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        return (
+            xn.join(F.broadcast(cent), F.lit(True))
+            .select(
+                "neighbor_id",
+                "_xv",
+                F.struct(
+                    dot(F.col("_xv"), F.col("_cv")).alias("sim"),
+                    (-F.col("centroid_id")).alias("neg_centroid"),
+                ).alias("_s"),
+            )
+            .groupBy("neighbor_id")
+            .agg(F.first("_xv").alias("_xv"), F.max("_s").alias("_best"))
+            .select(
+                "neighbor_id",
+                "_xv",
+                (-F.col("_best.neg_centroid")).alias("centroid_id"),
+                F.col("_best.sim").alias("sim"),
+            )
+        )
+
+    def recompute(assigned: DataFrame) -> DataFrame:
+        comp = (
+            assigned.select("centroid_id", F.posexplode("_xv").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.round(F.col("val"), 9).cast("decimal(12,9)")).alias("s"),
+                F.count("*").alias("c"),
+            )
+        )
+        means = comp.groupBy("centroid_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", (F.col("s").cast("double") / F.col("c")).alias("m")
+                    )
+                )
+            ).alias("_pm")
+        )
+        norm = F.sqrt(
+            F.aggregate(F.col("_m"), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+        return (
+            means.select("centroid_id", F.col("_pm").getField("m").alias("_m"))
+            .select("centroid_id", "_m", norm.alias("_n"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("_m"), lambda v: v / F.col("_n")).alias("_cv"),
+            )
+        )
+
+    cent = xn.filter(F.col("neighbor_id") % _KM_SEED_MOD == 1).select(
+        F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv")
+    )
+    for _ in range(_KM_ROUNDS):
+        cent = recompute(assign(cent))
+    final = assign(cent)
+    result = (
+        final.groupBy("centroid_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.round(F.col("sim"), 9).cast("decimal(12,9)")).alias("_ssim"),
+        )
+        .select(
+            "centroid_id",
+            "n_members",
+            F.round(F.col("_ssim").cast("double") / F.col("n_members"), 6).alias(
+                "avg_sim"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+    result._cached_deps = [xn]  # library callers: unpersist when done
+    return result

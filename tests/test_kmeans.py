@@ -1,0 +1,47 @@
+"""ivf_kmeans_refine semantics: Lloyd monotonicity (the refined
+codebook's objective beats the seed codebook's), conservation of
+membership, and determinism — checked against an independent numpy
+replica of the seed assignment, not the query's own plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from data_ingestion_task_spark.plans.vector_plans import (
+    _KM_SEED_MOD,
+    ivf_kmeans_refine,
+)
+
+
+def _seed_objective(sf_dir: str) -> tuple[float, int, int]:
+    """Summed max-cosine objective of the SEED codebook assignment,
+    computed straight from parquet with numpy."""
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    x = e[e.vec_id % 5 != 0]
+    v = np.stack(x.embedding.to_numpy()).astype("float64")
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    seed_mask = (x.vec_id % _KM_SEED_MOD == 1).to_numpy()
+    sims = v @ v[seed_mask].T
+    return float(sims.max(axis=1).sum()), len(x), int(seed_mask.sum())
+
+
+def test_refined_codebook_beats_seed_objective(spark, sf_dir):
+    out = ivf_kmeans_refine(spark, sf_dir).toPandas()
+    seed_obj, n_index, n_seeds = _seed_objective(sf_dir)
+    # every index vector is assigned exactly once
+    assert int(out.n_members.sum()) == n_index
+    refined_obj = float((out.n_members * out.avg_sim).sum())
+    # Lloyd rounds never decrease the summed-cosine objective
+    # (1e-3 absorbs the query's 6-dp per-centroid rounding)
+    assert refined_obj >= seed_obj - 1e-3
+    assert (out.avg_sim <= 1.0 + 1e-9).all()
+    # centroids only ever merge/empty, never appear from nowhere
+    assert out.centroid_id.is_unique
+    assert len(out) <= n_seeds
+
+
+def test_kmeans_is_deterministic(spark, sf_dir):
+    a = ivf_kmeans_refine(spark, sf_dir).toPandas()
+    b = ivf_kmeans_refine(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(a, b)
