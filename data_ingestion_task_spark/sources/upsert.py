@@ -1,0 +1,258 @@
+"""Keyed parquet upsert store — the MERGE-style sink SCALE.md §8
+queues for stateful streaming outputs, built without a table format:
+a hash-bucketed parquet layout where ``merge(updates)`` rewrites ONLY
+the buckets containing the incoming keys (last-writer-wins per key).
+
+Layout: ``root/bucket=N/*.parquet`` with ``N = pmod(xxhash64(key),
+n_buckets)`` and a tiny ``_store_meta.json`` manifest pinning (key,
+n_buckets). Reading the root rediscovers ``bucket`` as a partition
+column, so point lookups prune to one directory.
+
+Merge semantics:
+- Within a batch, rows are reduced to one per key first — via
+  ``max_by(struct(cols), seq_col)`` when the caller names a sequence
+  column, else ``dropDuplicates([key])`` (caller must then send
+  unique keys per batch for determinism).
+- Against the store, incoming keys replace stored rows; unrelated
+  keys in the same bucket are carried over; untouched buckets are
+  not read, not rewritten.
+- ``foreachBatch`` replay safety: Structured Streaming replays only
+  the most recent uncommitted batch after a crash, and re-merging the
+  same batch is idempotent (same keys → same winners), so the store's
+  contents are exactly-once. (Replaying an *older* batch would
+  clobber newer rows — that case cannot arise from a checkpointed
+  stream, and batch callers get last-call-wins, which is the MERGE
+  contract.)
+
+Crash safety: each touched bucket is swapped with the same two-rename
+dance as ``compact.py`` (``bucket=N → bucket=N{OLD_SUFFIX}``, then
+``tmp/bucket=N → bucket=N``); ``_repair()`` — run at every merge and
+read — restores any bucket parked mid-swap and clears stale tmp/old
+leftovers, so a crash at any point leaves every bucket at either its
+old or its new contents. Renames are atomic on HDFS/local-fs; on S3A
+they are copies — front S3 with a real table format instead.
+
+Scale (100 TB): a micro-batch touching K distinct keys rewrites at
+most min(K, n_buckets) buckets ≈ that fraction of the store; sizing
+``n_buckets`` so a bucket ≈ one shuffle partition (~store_bytes /
+200 MB) keeps both the carry-over scan and the rewrite bounded. The
+only driver-side materialization is the ≤ n_buckets hit-bucket list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compact import _hadoop_fs
+
+META_FILE = "_store_meta.json"
+TMP_SUFFIX = ".__upsert_tmp__"
+OLD_SUFFIX = ".__upsert_old__"
+
+
+class KeyedParquetStore:
+    """Hash-bucketed keyed parquet store with partial-rewrite MERGE."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.key = key
+        self.n_buckets = n_buckets
+        self._check_or_write_meta()
+
+    # -- manifest ---------------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return f"{self.root}/{META_FILE}"
+
+    def _check_or_write_meta(self) -> None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        P = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(P(self._meta_path())):
+            stream = fs.open(P(self._meta_path()))
+            baos = jvm.java.io.ByteArrayOutputStream()
+            try:
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+            finally:
+                stream.close()
+            meta = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+            if meta["key"] != self.key or meta["n_buckets"] != self.n_buckets:
+                raise ValueError(
+                    f"store at {self.root} was created with "
+                    f"key={meta['key']!r}, n_buckets={meta['n_buckets']} — "
+                    f"got key={self.key!r}, n_buckets={self.n_buckets}; "
+                    "bucket assignment is layout, it cannot change in place"
+                )
+            return
+        fs.mkdirs(P(self.root))
+        out = fs.create(P(self._meta_path()), True)
+        try:
+            out.write(
+                json.dumps({"key": self.key, "n_buckets": self.n_buckets}).encode(
+                    "utf-8"
+                )
+            )
+        finally:
+            out.close()
+
+    # -- bucket plumbing --------------------------------------------------
+
+    def _bucket_expr(self, key_col: Column) -> Column:
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
+
+    def _bucket_dir(self, n: int) -> str:
+        return f"{self.root}/bucket={n}"
+
+    def _existing_buckets(self) -> list[int]:
+        jvm, fs, hpath = _hadoop_fs(self.spark, self.root)
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("bucket=") and "__" not in name:
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def _repair(self) -> None:
+        """Restore buckets parked mid-swap; clear stale tmp dirs."""
+        jvm, fs, hpath = _hadoop_fs(self.spark, self.root)
+        P = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(hpath):
+            return
+        tmp_root = self.root + TMP_SUFFIX
+        if fs.exists(P(tmp_root)):
+            fs.delete(P(tmp_root), True)
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not name.endswith(OLD_SUFFIX):
+                continue
+            live = name[: -len(OLD_SUFFIX)]
+            live_path = P(f"{self.root}/{live}")
+            if fs.exists(live_path):
+                # swap completed, cleanup died: old copy is garbage
+                fs.delete(st.getPath(), True)
+            else:
+                # crashed between the two renames: restore the original
+                if not fs.rename(st.getPath(), live_path):
+                    raise IOError(f"repair failed renaming {name} -> {live}")
+
+    # -- API --------------------------------------------------------------
+
+    def merge(self, updates: DataFrame, seq_col: str | None = None) -> dict:
+        """Upsert ``updates`` by key. Returns an audit dict with the
+        touched bucket count and row counts. See module docstring for
+        the within-batch reduction and replay semantics."""
+        self._repair()
+        if self.key not in updates.columns:
+            raise ValueError(f"updates missing key column {self.key!r}")
+        if "bucket" in updates.columns:
+            raise ValueError(
+                "updates must not carry a 'bucket' column — it is the "
+                "store's partition column"
+            )
+        data_cols = [c for c in updates.columns if c != self.key]
+        if seq_col is not None:
+            reduced = (
+                updates.groupBy(self.key)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in data_cols]), F.col(seq_col)
+                    ).alias("_row")
+                )
+                .select(self.key, "_row.*")
+            )
+        else:
+            reduced = updates.dropDuplicates([self.key])
+        ub = reduced.withColumn("bucket", self._bucket_expr(F.col(self.key))).persist()
+        hit = sorted(r["bucket"] for r in ub.select("bucket").distinct().collect())
+        n_new = ub.count()
+
+        present = set(self._existing_buckets())
+        existing_dirs = [self._bucket_dir(n) for n in hit if n in present]
+        if existing_dirs:
+            existing = self.spark.read.parquet(*existing_dirs)
+            keep = existing.join(ub.select(self.key), self.key, "left_anti")
+            out = keep.withColumn(
+                "bucket", self._bucket_expr(F.col(self.key))
+            ).unionByName(ub)
+        else:
+            out = ub
+
+        tmp_root = self.root + TMP_SUFFIX
+        out = out.persist()  # one pass feeds both the write and the audit count
+        out.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
+        carried = out.count() - n_new
+        out.unpersist()
+
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        P = jvm.org.apache.hadoop.fs.Path
+        for n in hit:
+            live = self._bucket_dir(n)
+            old = live + OLD_SUFFIX
+            staged = f"{tmp_root}/bucket={n}"
+            if not fs.exists(P(staged)):
+                continue  # a hit bucket whose rows all lost to carry (impossible) — skip
+            if fs.exists(P(live)):
+                if not fs.rename(P(live), P(old)):
+                    raise IOError(f"upsert swap failed parking {live}")
+            if not fs.rename(P(staged), P(live)):
+                raise IOError(f"upsert swap failed installing {live}")
+            if fs.exists(P(old)):
+                fs.delete(P(old), True)
+        fs.delete(P(tmp_root), True)
+        ub.unpersist()
+        return {
+            "buckets_touched": len(hit),
+            "rows_upserted": n_new,
+            "rows_carried": carried,
+        }
+
+    def read(self) -> DataFrame:
+        """The full store as a DataFrame (``bucket`` is a partition
+        column — filters on it prune directories)."""
+        self._repair()
+        if not self._existing_buckets():
+            raise FileNotFoundError(
+                f"keyed store at {self.root} has no data yet — merge first"
+            )
+        return self.spark.read.parquet(self.root)
+
+    def lookup(self, keys: Sequence[Any]) -> DataFrame:
+        """Point lookups: compute the keys' buckets, read ONLY those
+        directories, filter to the keys."""
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], [self.key]
+        ).withColumn("bucket", self._bucket_expr(F.col(self.key)))
+        hit = sorted({r["bucket"] for r in kdf.select("bucket").distinct().collect()})
+        dirs = [self._bucket_dir(n) for n in hit if n in set(self._existing_buckets())]
+        if not dirs:
+            return self.read().limit(0).drop("bucket")
+        return (
+            self.spark.read.parquet(*dirs).filter(F.col(self.key).isin(list(keys)))
+        )
+
+    def foreach_batch_merger(
+        self, transform: Callable[[DataFrame], DataFrame] | None = None
+    ) -> Callable[[DataFrame, int], None]:
+        """A ``foreachBatch`` function that MERGEs each micro-batch
+        into the store (optionally through ``transform`` first) — the
+        keyed-upsert sink for stateful streaming outputs."""
+
+        def _merge(batch_df: DataFrame, batch_id: int) -> None:
+            df = transform(batch_df) if transform is not None else batch_df
+            self.merge(df)
+
+        return _merge

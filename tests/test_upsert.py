@@ -1,0 +1,118 @@
+"""KeyedParquetStore: MERGE semantics (last-writer-wins, carry-over
+of unrelated keys), partial rewrite (untouched buckets' files are
+physically untouched), replay idempotence, crash repair, point-lookup
+pruning, and the foreachBatch wiring."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_task_spark.sources.upsert import (
+    OLD_SUFFIX,
+    KeyedParquetStore,
+    META_FILE,
+)
+
+
+def _mk(spark, tmp_path, **kw):
+    return KeyedParquetStore(spark, str(tmp_path / "store"), key="k", **kw)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame([(k, v) for k, v in pairs], "k long, v string")
+
+
+def test_merge_then_read_roundtrip(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=8)
+    audit = st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert audit["rows_upserted"] == 3 and audit["rows_carried"] == 0
+    assert _rows(st.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_last_writer_wins_and_carry_over(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=2)  # force key collisions per bucket
+    st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    audit = st.merge(_df(spark, [(2, "B"), (4, "D")]))
+    assert audit["rows_upserted"] == 2
+    # unrelated keys sharing the rewritten buckets were carried over
+    assert _rows(st.read()) == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=64)
+    st.merge(_df(spark, [(i, f"v{i}") for i in range(40)]))
+    before = {
+        d: sorted(os.listdir(os.path.join(st.root, d)))
+        for d in os.listdir(st.root)
+        if d.startswith("bucket=")
+    }
+    audit = st.merge(_df(spark, [(1, "X")]))
+    assert audit["buckets_touched"] == 1
+    after = {
+        d: sorted(os.listdir(os.path.join(st.root, d)))
+        for d in os.listdir(st.root)
+        if d.startswith("bucket=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    # exactly the one bucket holding key 1 changed files
+    assert len(changed) <= 1
+    assert _rows(st.lookup([1])) == [(1, "X")]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=4)
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    st.merge(batch)
+    st.merge(batch)  # checkpoint replay of the same micro-batch
+    assert _rows(st.read()) == [(1, "a"), (2, "b")]
+
+
+def test_within_batch_seq_reduction(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=4)
+    dup = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)], "k long, v string, seq long"
+    )
+    st.merge(dup, seq_col="seq")
+    got = {r["k"]: r["v"] for r in st.read().collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_crash_repair_restores_parked_bucket(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=4)
+    st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    rows_before = _rows(st.read())
+    # simulate a crash between the two swap renames: live dir parked
+    live = next(
+        os.path.join(st.root, d) for d in os.listdir(st.root) if d.startswith("bucket=")
+    )
+    os.rename(live, live + OLD_SUFFIX)
+    assert _rows(st.read()) == rows_before  # repair ran inside read()
+    assert not os.path.exists(live + OLD_SUFFIX)
+
+
+def test_meta_guards_layout(spark, tmp_path):
+    _mk(spark, tmp_path, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        _mk(spark, tmp_path, n_buckets=16)
+    assert os.path.exists(tmp_path / "store" / META_FILE)
+
+
+def test_lookup_prunes_to_hit_buckets(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=64)
+    st.merge(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    assert _rows(st.lookup([7, 23])) == [(7, "v7"), (23, "v23")]
+    assert st.lookup([999_999]).count() == 0
+
+
+def test_foreach_batch_merger(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=4)
+    fn = st.foreach_batch_merger()
+    fn(_df(spark, [(1, "a")]), 0)
+    fn(_df(spark, [(1, "A"), (2, "b")]), 1)
+    assert _rows(st.read()) == [(1, "A"), (2, "b")]
