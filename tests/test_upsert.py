@@ -116,3 +116,43 @@ def test_foreach_batch_merger(spark, tmp_path):
     fn(_df(spark, [(1, "a")]), 0)
     fn(_df(spark, [(1, "A"), (2, "b")]), 1)
     assert _rows(st.read()) == [(1, "A"), (2, "b")]
+
+
+def test_streaming_foreach_batch_upsert(spark, tmp_path):
+    """End-to-end: a file-source stream merged into the store via
+    writeStream.foreachBatch — two inbox files with overlapping keys
+    land as last-micro-batch-wins (files are time-ordered into
+    separate micro-batches via maxFilesPerTrigger=1)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(str(inbox / "f1.parquet"))
+
+    st = _mk(spark, tmp_path, n_buckets=4)
+    schema = spark.read.parquet(str(inbox / "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox) + "/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(st.foreach_batch_merger())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(st.read()) == [(1, "a"), (2, "b")]
+
+    # second file updates key 1; restart from the same checkpoint
+    _df(spark, [(1, "A2"), (3, "c")]).coalesce(1).write.parquet(str(inbox / "f2.parquet"))
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox) + "/*.parquet")
+        .writeStream.foreachBatch(st.foreach_batch_merger())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert _rows(st.read()) == [(1, "A2"), (2, "b"), (3, "c")]
