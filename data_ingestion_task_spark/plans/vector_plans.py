@@ -866,8 +866,12 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each assignment is a broadcast-codebook join + one
     map-side-combined max(struct) aggregate (no shuffle of the
     product); each recompute is a posexplode → (centroid, dim)-ary
-    hash-agg — both linear in N. Rounds are driver-sequenced like any
-    production k-means. Cross-engine parity: component sums and sim
+    hash-agg — both linear in N. At {_KM_ROUNDS} rounds the Lloyd
+    chain composes into ONE lazy plan (each broadcast materializes
+    the previous round's tiny codebook, so every stage still runs
+    once); raising the round count is where a production trainer
+    would persist/localCheckpoint the codebook per round to bound
+    plan depth. Cross-engine parity: component sums and sim
     sums go through DECIMAL(12,9) (order-independent), and the
     renormalization is a sequential HOF reduction in both engines, so
     the refined codebook — and therefore every assignment — is

@@ -18,11 +18,13 @@ Merge semantics:
   not read, not rewritten.
 - ``foreachBatch`` replay safety: Structured Streaming replays only
   the most recent uncommitted batch after a crash, and re-merging the
-  same batch is idempotent (same keys → same winners), so the store's
-  contents are exactly-once. (Replaying an *older* batch would
-  clobber newer rows — that case cannot arise from a checkpointed
-  stream, and batch callers get last-call-wins, which is the MERGE
-  contract.)
+  same batch is idempotent — PROVIDED the within-batch reduction is
+  deterministic: unique keys per batch, or ``seq_col`` named so the
+  winner is max-by-sequence rather than ``dropDuplicates``'s
+  arbitrary row. So the store's contents are exactly-once under
+  either condition. (Replaying an *older* batch would clobber newer
+  rows — that case cannot arise from a checkpointed stream, and batch
+  callers get last-call-wins, which is the MERGE contract.)
 
 Crash safety: each touched bucket is swapped with the same two-rename
 dance as ``compact.py`` (``bucket=N → bucket=N{OLD_SUFFIX}``, then
@@ -77,17 +79,32 @@ class KeyedParquetStore:
     def _meta_path(self) -> str:
         return f"{self.root}/{META_FILE}"
 
-    def _check_or_write_meta(self) -> None:
+    def _read_meta(self) -> dict | None:
         jvm, fs, _ = _hadoop_fs(self.spark, self.root)
         P = jvm.org.apache.hadoop.fs.Path
-        if fs.exists(P(self._meta_path())):
-            stream = fs.open(P(self._meta_path()))
-            baos = jvm.java.io.ByteArrayOutputStream()
-            try:
-                jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
-            finally:
-                stream.close()
-            meta = json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+        if not fs.exists(P(self._meta_path())):
+            return None
+        stream = fs.open(P(self._meta_path()))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        try:
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        finally:
+            stream.close()
+        return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+    def _write_meta(self, meta: dict) -> None:
+        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+        P = jvm.org.apache.hadoop.fs.Path
+        fs.mkdirs(P(self.root))
+        out = fs.create(P(self._meta_path()), True)
+        try:
+            out.write(json.dumps(meta).encode("utf-8"))
+        finally:
+            out.close()
+
+    def _check_or_write_meta(self) -> None:
+        meta = self._read_meta()
+        if meta is not None:
             if meta["key"] != self.key or meta["n_buckets"] != self.n_buckets:
                 raise ValueError(
                     f"store at {self.root} was created with "
@@ -95,17 +112,28 @@ class KeyedParquetStore:
                     f"got key={self.key!r}, n_buckets={self.n_buckets}; "
                     "bucket assignment is layout, it cannot change in place"
                 )
+            self._key_type: str | None = meta.get("key_type")
             return
-        fs.mkdirs(P(self.root))
-        out = fs.create(P(self._meta_path()), True)
-        try:
-            out.write(
-                json.dumps({"key": self.key, "n_buckets": self.n_buckets}).encode(
-                    "utf-8"
-                )
+        self._key_type = None
+        self._write_meta({"key": self.key, "n_buckets": self.n_buckets})
+
+    def _pin_key_type(self, updates: DataFrame) -> None:
+        """Bucket assignment hashes the key's RUNTIME Spark type
+        (xxhash64 of int ≠ xxhash64 of bigint for the same value), so
+        the first merge pins the key dtype in the manifest; later
+        merges must match and lookups cast to it."""
+        kt = updates.schema[self.key].dataType.simpleString()
+        if self._key_type is None:
+            self._key_type = kt
+            self._write_meta(
+                {"key": self.key, "n_buckets": self.n_buckets, "key_type": kt}
             )
-        finally:
-            out.close()
+        elif self._key_type != kt:
+            raise ValueError(
+                f"key column {self.key!r} arrived as {kt} but the store is "
+                f"pinned to {self._key_type} — a different dtype hashes to "
+                "different buckets; cast before merging"
+            )
 
     # -- bucket plumbing --------------------------------------------------
 
@@ -163,6 +191,7 @@ class KeyedParquetStore:
                 "updates must not carry a 'bucket' column — it is the "
                 "store's partition column"
             )
+        self._pin_key_type(updates)
         data_cols = [c for c in updates.columns if c != self.key]
         if seq_col is not None:
             reduced = (
@@ -177,43 +206,60 @@ class KeyedParquetStore:
         else:
             reduced = updates.dropDuplicates([self.key])
         ub = reduced.withColumn("bucket", self._bucket_expr(F.col(self.key))).persist()
-        hit = sorted(r["bucket"] for r in ub.select("bucket").distinct().collect())
-        n_new = ub.count()
+        out = None
+        try:
+            # one aggregate action: hit-bucket list + row count + NULL-key
+            # guard (a NULL key never matches the left_anti equality join,
+            # so it would duplicate forever — reject loudly instead)
+            stats = ub.agg(
+                F.collect_set("bucket").alias("hit"),
+                F.count("*").alias("n"),
+                F.sum(F.col(self.key).isNull().cast("int")).alias("nulls"),
+            ).first()
+            if (stats["nulls"] or 0) > 0:
+                raise ValueError(
+                    f"{stats['nulls']} row(s) with NULL {self.key!r} — a NULL "
+                    "key has no MERGE identity; filter or key them upstream"
+                )
+            hit = sorted(stats["hit"])
+            n_new = stats["n"]
 
-        present = set(self._existing_buckets())
-        existing_dirs = [self._bucket_dir(n) for n in hit if n in present]
-        if existing_dirs:
-            existing = self.spark.read.parquet(*existing_dirs)
-            keep = existing.join(ub.select(self.key), self.key, "left_anti")
-            out = keep.withColumn(
-                "bucket", self._bucket_expr(F.col(self.key))
-            ).unionByName(ub)
-        else:
-            out = ub
+            present = set(self._existing_buckets())
+            existing_dirs = [self._bucket_dir(n) for n in hit if n in present]
+            if existing_dirs:
+                existing = self.spark.read.parquet(*existing_dirs)
+                keep = existing.join(ub.select(self.key), self.key, "left_anti")
+                out = keep.withColumn(
+                    "bucket", self._bucket_expr(F.col(self.key))
+                ).unionByName(ub)
+            else:
+                out = ub
 
-        tmp_root = self.root + TMP_SUFFIX
-        out = out.persist()  # one pass feeds both the write and the audit count
-        out.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
-        carried = out.count() - n_new
-        out.unpersist()
+            tmp_root = self.root + TMP_SUFFIX
+            out = out.persist()  # one pass feeds both the write and the audit count
+            out.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
+            carried = out.count() - n_new
 
-        jvm, fs, _ = _hadoop_fs(self.spark, self.root)
-        P = jvm.org.apache.hadoop.fs.Path
-        for n in hit:
-            live = self._bucket_dir(n)
-            old = live + OLD_SUFFIX
-            staged = f"{tmp_root}/bucket={n}"
-            if not fs.exists(P(staged)):
-                continue  # a hit bucket whose rows all lost to carry (impossible) — skip
-            if fs.exists(P(live)):
-                if not fs.rename(P(live), P(old)):
-                    raise IOError(f"upsert swap failed parking {live}")
-            if not fs.rename(P(staged), P(live)):
-                raise IOError(f"upsert swap failed installing {live}")
-            if fs.exists(P(old)):
-                fs.delete(P(old), True)
-        fs.delete(P(tmp_root), True)
-        ub.unpersist()
+            jvm, fs, _ = _hadoop_fs(self.spark, self.root)
+            P = jvm.org.apache.hadoop.fs.Path
+            for n in hit:
+                live = self._bucket_dir(n)
+                old = live + OLD_SUFFIX
+                staged = f"{tmp_root}/bucket={n}"
+                if not fs.exists(P(staged)):
+                    continue
+                if fs.exists(P(live)):
+                    if not fs.rename(P(live), P(old)):
+                        raise IOError(f"upsert swap failed parking {live}")
+                if not fs.rename(P(staged), P(live)):
+                    raise IOError(f"upsert swap failed installing {live}")
+                if fs.exists(P(old)):
+                    fs.delete(P(old), True)
+            fs.delete(P(tmp_root), True)
+        finally:
+            ub.unpersist()
+            if out is not None:
+                out.unpersist()
         return {
             "buckets_touched": len(hit),
             "rows_upserted": n_new,
@@ -232,12 +278,25 @@ class KeyedParquetStore:
 
     def lookup(self, keys: Sequence[Any]) -> DataFrame:
         """Point lookups: compute the keys' buckets, read ONLY those
-        directories, filter to the keys."""
-        kdf = self.spark.createDataFrame(
-            [(k,) for k in keys], [self.key]
-        ).withColumn("bucket", self._bucket_expr(F.col(self.key)))
+        directories, filter to the keys. Keys are cast to the dtype
+        pinned at first merge so Python-literal type inference cannot
+        land them in the wrong bucket. Like :meth:`read`, raises
+        ``FileNotFoundError`` on a store that has never been merged
+        into (there is no value schema to shape an empty result)."""
+        self._repair()
+        key_col = F.col(self.key)
+        if self._key_type is not None:
+            key_col = key_col.cast(self._key_type)
+        kdf = self.spark.createDataFrame([(k,) for k in keys], [self.key]).withColumn(
+            "bucket", self._bucket_expr(key_col)
+        )
         hit = sorted({r["bucket"] for r in kdf.select("bucket").distinct().collect()})
-        dirs = [self._bucket_dir(n) for n in hit if n in set(self._existing_buckets())]
+        present = set(self._existing_buckets())
+        if not present:
+            raise FileNotFoundError(
+                f"keyed store at {self.root} has no data yet — merge first"
+            )
+        dirs = [self._bucket_dir(n) for n in hit if n in present]
         if not dirs:
             return self.read().limit(0).drop("bucket")
         return (
@@ -245,14 +304,21 @@ class KeyedParquetStore:
         )
 
     def foreach_batch_merger(
-        self, transform: Callable[[DataFrame], DataFrame] | None = None
+        self,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        seq_col: str | None = None,
     ) -> Callable[[DataFrame, int], None]:
         """A ``foreachBatch`` function that MERGEs each micro-batch
         into the store (optionally through ``transform`` first) — the
-        keyed-upsert sink for stateful streaming outputs."""
+        keyed-upsert sink for stateful streaming outputs. Pass
+        ``seq_col`` whenever a source can emit the same key twice in
+        one micro-batch: without it the within-batch reduction is
+        ``dropDuplicates`` (arbitrary winner), and a checkpoint replay
+        of that batch may pick a different row than the pre-crash run
+        did."""
 
         def _merge(batch_df: DataFrame, batch_id: int) -> None:
             df = transform(batch_df) if transform is not None else batch_df
-            self.merge(df)
+            self.merge(df, seq_col=seq_col)
 
         return _merge

@@ -156,3 +156,33 @@ def test_streaming_foreach_batch_upsert(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert _rows(st.read()) == [(1, "A2"), (2, "b"), (3, "c")]
+
+
+def test_null_key_rejected(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=4)
+    bad = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        st.merge(bad)
+
+
+def test_key_dtype_pinned_and_lookup_casts(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=16)
+    ints = spark.createDataFrame([(7, "a"), (9, "b")], "k int, v string")
+    st.merge(ints)
+    # Python literals infer LongType; the pinned int dtype must still
+    # land the lookup in the right bucket
+    assert _rows(st.lookup([7])) == [(7, "a")]
+    # a later merge with a drifted dtype is refused (different xxhash64)
+    with pytest.raises(ValueError, match="pinned"):
+        st.merge(spark.createDataFrame([(7, "z")], "k long, v string"))
+    # a fresh handle re-reads the pinned dtype from the manifest
+    st2 = _mk(spark, tmp_path, n_buckets=16)
+    assert _rows(st2.lookup([9])) == [(9, "b")]
+
+
+def test_lookup_repairs_parked_bucket(spark, tmp_path):
+    st = _mk(spark, tmp_path, n_buckets=1)  # every key in bucket 0
+    st.merge(_df(spark, [(1, "a")]))
+    live = os.path.join(st.root, "bucket=0")
+    os.rename(live, live + OLD_SUFFIX)
+    assert _rows(st.lookup([1])) == [(1, "a")]  # repair ran inside lookup()
