@@ -265,11 +265,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q, x = _split(spark, sf_dir)
     # One signature computation per side, one bucket join; top-1 and
-    # the examined-candidate count come from ONE hash-aggregate
-    # (max(struct(sim, -id)) + count) — map-side combinable, no
-    # sort-based window over the candidate pairs (the same
-    # window→agg rewrite knn_join_ivf got; signatures are 4 HOF dot
-    # products per row, so they are computed once per side).
+    # the examined-candidate count come from ONE aggregate with
+    # map-side partial combine — no sort-based window over the
+    # candidate pairs (the same window→agg rewrite knn_join_ivf got;
+    # signatures are 4 HOF dot products per row, so they are computed
+    # once per side).
     sig_q = normalize_embeddings(q.select("query_id", "embedding")).select(
         "query_id",
         F.col("embedding").alias("_qv"),
@@ -283,16 +283,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sig_q.join(sig_x, "bucket").select(
         "query_id", "neighbor_id", dot(F.col("_qv"), F.col("_xv")).alias("sim")
     )
+    # One aggregate with partial (map-side) combine: each partition
+    # reduces its pairs to one row per query BEFORE the shuffle, so
+    # the exchange carries |queries| rows, not |pairs| — that is the
+    # scale property the old two-window plan lacked. (The struct
+    # ordering key makes Spark pick SortAggregate over HashAggregate;
+    # the partition-local sort is on the already-reduced rows and is
+    # not the cost driver.)
     best = pairs.groupBy("query_id").agg(
-        F.max(
-            F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("neg_id"))
-        ).alias("best"),
+        F.max_by(
+            "neighbor_id",
+            F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("neg_id")),
+        ).alias("neighbor_id"),
+        F.max("sim").alias("sim"),
         F.count("*").alias("n_candidates"),
     )
     return best.select(
         "query_id",
-        (-F.col("best.neg_id")).alias("neighbor_id"),
-        F.round(F.col("best.sim"), 9).alias("sim"),
+        "neighbor_id",
+        F.round(F.col("sim"), 9).alias("sim"),
         "n_candidates",
     ).orderBy("query_id")
 

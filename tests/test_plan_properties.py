@@ -130,3 +130,21 @@ def test_star_cluster_query_matches_propagation_query(spark, sf_dir):
     a = sorted(map(tuple, qs["dedup_cluster_canonical"](spark, sf_dir).collect()))
     b = sorted(map(tuple, qs["dedup_cluster_star"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_kmeans_broadcasts_codebook_no_cartesian(plans):
+    plan = plans("ivf_kmeans_refine")
+    assert "CartesianProduct" not in plan
+    # codebook joins are broadcast nested-loop (crossed with a
+    # broadcast side), never a shuffled product
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lsh_topk_ranks_without_window(plans):
+    # the top-1 + candidate count come from ONE aggregate with
+    # map-side partial combine (the exchange carries one row per
+    # query, not the full pair set); a Window over the pairs must not
+    # reappear
+    plan = plans("ann_lsh_topk")
+    assert "Window" not in plan
+    assert "partial_max" in plan  # map-side combine before the shuffle
