@@ -277,6 +277,72 @@ def knn_topk(
     return out
 
 
+def train_ivf_codebook(
+    index_df: DataFrame,
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 25,
+    rounds: int = 2,
+) -> DataFrame:
+    """Spherical k-means training for :func:`knn_join_ivf`'s codebook —
+    the ``IndexIVFFlat.train()`` step: seeds = index ids ≡ 1 mod
+    ``seed_mod``, then ``rounds`` Lloyd iterations (assign each vector
+    to its argmax-cosine centroid, recompute each centroid as the
+    renormalized mean of its members). Returns ``(centroid_id,
+    <vec_col>)`` ready for ``knn_join_ivf(codebook=...)``.
+
+    Scale: per round, assignment is a broadcast-codebook join reduced
+    by a map-side-combined aggregate (the exchange carries one row per
+    index vector) and the recompute is a posexplode →
+    (centroid, dim)-ary hash-agg — both linear in the training set.
+    Run on a SAMPLE with ``nlist ≈ √N`` seeds in production; each
+    round's codebook is materialized by the next round's broadcast, so
+    every stage executes once. (The registered ``ivf_kmeans_refine``
+    query carries its own DECIMAL-quantized twin of this loop for
+    bit-exact DuckDB parity; this operator keeps plain double math.)"""
+    xn = normalize_embeddings(index_df, vec_col).select(
+        F.col(index_id).alias("_id"), F.col(vec_col).alias("_xv")
+    )
+    cent = xn.filter(F.col("_id") % seed_mod == 1).select(
+        F.col("_id").alias("centroid_id"), F.col("_xv").alias("_cv")
+    )
+    for _ in range(rounds):
+        assigned = (
+            xn.join(F.broadcast(cent), F.lit(True))
+            .select(
+                "_id",
+                "_xv",
+                F.struct(
+                    dot(F.col("_xv"), F.col("_cv")).alias("sim"),
+                    (-F.col("centroid_id")).alias("neg_centroid"),
+                ).alias("_s"),
+            )
+            .groupBy("_id")
+            .agg(F.first("_xv").alias("_xv"), F.max("_s").alias("_best"))
+            .select("_xv", (-F.col("_best.neg_centroid")).alias("centroid_id"))
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("_xv").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                    )
+                ).alias("_pm")
+            )
+            .select("centroid_id", F.col("_pm").getField("m").alias("_m"))
+        )
+        norm = F.sqrt(F.aggregate(F.col("_m"), F.lit(0.0), lambda a, v: a + v * v))
+        cent = means.select("centroid_id", "_m", norm.alias("_n")).select(
+            "centroid_id",
+            F.transform(F.col("_m"), lambda v: v / F.col("_n")).alias("_cv"),
+        )
+    return cent.select("centroid_id", F.col("_cv").alias(vec_col))
+
+
 def knn_join_ivf(
     index_df: DataFrame,
     query_df: DataFrame,
@@ -286,13 +352,16 @@ def knn_join_ivf(
     query_id: str = "query_id",
     index_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k, IVF-style (inverted file): a deterministic
     subset of the index (``index_id % centroid_mod == 1``) acts as the
-    centroid codebook; every index vector is assigned to its nearest
-    centroid (one inverted list per centroid), and each query probes
-    only its ``n_probe`` nearest centroids' lists, with exact cosine
-    re-rank inside.
+    centroid codebook — or pass ``codebook`` (``(centroid_id,
+    <vec_col>)``, e.g. from :func:`train_ivf_codebook`) to search
+    against trained centroids; every index vector is assigned to its
+    nearest centroid (one inverted list per centroid), and each query
+    probes only its ``n_probe`` nearest centroids' lists, with exact
+    cosine re-rank inside.
 
     Scale story (the FAISS ``IndexIVFFlat`` analogue, vs. the flat
     index of :func:`knn_join_exact`): the codebook is broadcast-sized,
@@ -308,9 +377,14 @@ def knn_join_ivf(
     x = normalize_embeddings(index_df, vec_col)
     q = q.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     x = x.select(F.col(index_id), F.col(vec_col).alias("_xv"))
-    cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
-        F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
-    )
+    if codebook is not None:
+        cent = normalize_embeddings(codebook, vec_col).select(
+            "centroid_id", F.col(vec_col).alias("_cv")
+        )
+    else:
+        cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
+            F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
+        )
 
     # Nearest-centroid assignment as a max_by hash-agg, NOT a window:
     # the broadcast-join expansion is N×nlist rows, and a row_number

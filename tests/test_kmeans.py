@@ -45,3 +45,38 @@ def test_kmeans_is_deterministic(spark, sf_dir):
     a = ivf_kmeans_refine(spark, sf_dir).toPandas()
     b = ivf_kmeans_refine(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_trained_codebook_plugs_into_ivf_search(spark, sf_dir):
+    """train_ivf_codebook output drives knn_join_ivf via codebook=,
+    and trained centroids don't lose recall vs the id-residue
+    codebook at the same (nlist, nprobe)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark.operators.knn import (
+        knn_join_exact,
+        knn_join_ivf,
+        train_ivf_codebook,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+
+    def recall(res) -> float:
+        exact = knn_join_exact(x, q, k=3).select("query_id", "neighbor_id")
+        hits = res.select("query_id", "neighbor_id").intersect(exact).count()
+        return hits / exact.count()
+
+    cb = train_ivf_codebook(x, seed_mod=25, rounds=2)
+    trained = knn_join_ivf(x, q, k=3, n_probe=2, codebook=cb)
+    # shape: ranks are 1..k per query, sims non-increasing
+    pdf = trained.toPandas()
+    assert (pdf.groupby("query_id")["rank"].max() <= 3).all()
+    assert (pdf.groupby("query_id")["rank"].min() == 1).all()
+    residue = knn_join_ivf(x, q, k=3, centroid_mod=25, n_probe=2)
+    assert recall(trained) >= recall(residue) - 0.05
