@@ -1,0 +1,88 @@
+"""Product-quantization operators: code shape/determinism, the
+compression-ceiling gate, and ADC recall against the exact search
+(with the overscan knob behaving monotonically)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_task_spark.operators.knn import (
+    BroadcastIndexTooLarge,
+    knn_join_exact,
+)
+from data_ingestion_task_spark.operators.pq import (
+    knn_join_pq,
+    pq_encode,
+    train_pq_codebooks,
+)
+
+
+@pytest.fixture(scope="module")
+def split(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return q, x
+
+
+def test_codebooks_shape_and_determinism(spark, split):
+    _, x = split
+    a = train_pq_codebooks(x, m=8, n_codes=16)
+    b = train_pq_codebooks(x, m=8, n_codes=16)
+    assert a.shape == (8, 16, 8)  # 64-dim / 8 subspaces
+    np.testing.assert_array_equal(a, b)
+
+
+def test_encode_codes_in_range(spark, split):
+    _, x = split
+    books = train_pq_codebooks(x, m=8, n_codes=16)
+    codes = pq_encode(x, books).toPandas()
+    assert len(codes) == x.count()
+    cm = np.array(list(codes.codes))
+    assert cm.shape[1] == 8
+    assert cm.min() >= 0 and cm.max() < 16
+
+
+def test_pq_search_recall_and_exact_rerank(spark, split):
+    q, x = split
+    exact = knn_join_exact(x, q, k=3)
+    ex_pairs = exact.select("query_id", "neighbor_id")
+    n_ex = ex_pairs.count()
+
+    def recall(overscan: int) -> float:
+        res = knn_join_pq(x, q, k=3, overscan=overscan)
+        hits = res.select("query_id", "neighbor_id").intersect(ex_pairs).count()
+        return hits / n_ex
+
+    # isotropic random vectors are PQ's worst case; measured ~0.63 /
+    # ~0.81 at overscan 8/16 — assert safely below, plus monotonicity
+    r8, r16 = recall(8), recall(16)
+    assert r16 >= 0.70
+    assert r16 >= r8
+    # surfaced sims are TRUE cosines: every (q, n, sim) triple the PQ
+    # search returns must match the exact search's sim for that pair
+    res = knn_join_pq(x, q, k=3, overscan=16).select(
+        "query_id", "neighbor_id", F.round("sim", 9).alias("sim")
+    )
+    ex = exact.select("query_id", "neighbor_id", F.round("sim", 9).alias("sim"))
+    assert res.join(ex, ["query_id", "neighbor_id"], "left_semi").count() + res.join(
+        ex.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+    ).count() == res.count()
+    mismatched = (
+        res.join(ex, ["query_id", "neighbor_id"])
+        .filter(res["sim"] != ex["sim"])
+        .count()
+    )
+    assert mismatched == 0
+
+
+def test_pq_gate_raises_past_cap(spark, split):
+    q, x = split
+    with pytest.raises(BroadcastIndexTooLarge):
+        knn_join_pq(x, q, k=3, max_index_rows=10)
