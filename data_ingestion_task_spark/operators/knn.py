@@ -241,16 +241,22 @@ def knn_topk(
     vec_col: str = "embedding",
     max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
     n_bits: int = 8,
+    pq_overscan: int | None = 16,
 ) -> DataFrame:
     """Size-routed top-k: exact broadcast brute force while the index
-    side fits the broadcast cap, deterministic-LSH approximate search
-    above it. This is the operator callers should default to — it
-    makes the scale decision explicit instead of trusting every call
-    site to know the index cardinality (VERDICT r2 perf finding).
+    side fits the broadcast cap, PQ-compressed broadcast (codes are
+    ~32× smaller, exact re-rank of the overscanned candidates) up to
+    32× the cap, deterministic-LSH approximate search above that.
+    This is the operator callers should default to — it makes the
+    scale decision explicit instead of trusting every call site to
+    know the index cardinality (VERDICT r2 perf finding).
 
     Semantics: below the cap, results are identical to
-    :func:`knn_join_exact`; above it, identical to
-    :func:`knn_join_lsh` (approximate — recall tuned by ``n_bits``).
+    :func:`knn_join_exact`; in the PQ band, sims are true cosines but
+    candidate choice is approximate (recall tuned by ``pq_overscan``;
+    pass ``pq_overscan=None`` to skip the band); above that,
+    identical to :func:`knn_join_lsh` (approximate — recall tuned by
+    ``n_bits``).
 
     The routing count would re-execute a DERIVED index pipeline that
     the chosen path then executes again (for an expensive encode stage
@@ -267,6 +273,14 @@ def knn_topk(
             idx, query_df, k,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows,
+        )
+    elif pq_overscan is not None and n <= max_index_rows * 32:
+        from .pq import knn_join_pq  # deferred: pq imports this module
+
+        out = knn_join_pq(
+            idx, query_df, k, overscan=pq_overscan,
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
+            max_index_rows=max_index_rows * 32,
         )
     else:
         out = knn_join_lsh(

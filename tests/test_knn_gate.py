@@ -52,12 +52,27 @@ def test_topk_routes_exact_below_cap(spark):
     assert routed == exact
 
 
+def test_topk_routes_pq_in_band(spark):
+    # above the float cap but within 32x of it → the PQ band; a large
+    # overscan makes every index row a candidate, so the exact re-rank
+    # reproduces knn_join_exact's answer bit-for-bit
+    idx = _toy_vectors(spark, 20, id_col="neighbor_id")
+    q = _toy_vectors(spark, 5, id_col="query_id")
+    routed = knn_topk(
+        idx, q, k=3, dim=8, max_index_rows=10, pq_overscan=16
+    ).orderBy("query_id", "rank").collect()
+    exact = knn_join_exact(idx, q, k=3).orderBy("query_id", "rank").collect()
+    assert routed == exact
+
+
 def test_topk_routes_lsh_above_cap(spark):
     idx = _toy_vectors(spark, 20, id_col="neighbor_id")
     q = _toy_vectors(spark, 5, id_col="query_id")
-    routed = knn_topk(idx, q, k=3, dim=8, max_index_rows=10, n_bits=2).orderBy(
-        "query_id", "rank"
-    ).collect()
+    # pq_overscan=None disables the PQ band, so past the float cap the
+    # facade hands off straight to LSH
+    routed = knn_topk(
+        idx, q, k=3, dim=8, max_index_rows=10, n_bits=2, pq_overscan=None
+    ).orderBy("query_id", "rank").collect()
     lsh = knn_join_lsh(idx, q, k=3, n_bits=2, dim=8).orderBy(
         "query_id", "rank"
     ).collect()
