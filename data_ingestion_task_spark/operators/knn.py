@@ -52,6 +52,21 @@ class BroadcastIndexTooLarge(RuntimeError):
         self.cap = cap
 
 
+def require_integral_ids(op_name: str, *pairs: tuple[DataFrame, str]) -> None:
+    """Raise TypeError unless each (df, col) id column is an integral
+    type — the numpy-side contract of every broadcast-index path (a
+    float/decimal id would be silently truncated to int64)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for df_, col_ in pairs:
+        dt = df_.schema[col_].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"{op_name} requires integral id columns; "
+                f"{col_} is {dt.simpleString()} — hash or index string ids first"
+            )
+
+
 def hyperplane(bit: int, dim: int, salt: str = "lsh") -> list[float]:
     """Deterministic ±1 hyperplane: component i is +1 iff the md5-hash
     of ``{salt}:{bit}:{i}`` is even — reproducible in any engine."""
@@ -108,17 +123,11 @@ def candidate_pairs_vectorized(
     :func:`knn_join_lsh`.
     """
     import numpy as np
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
     # Contract: ids ride through numpy as int64 and the output schema is
     # `long, long` — non-integral id columns would be silently corrupted.
-    for df_, col_ in ((index_df, index_id), (query_df, query_id)):
-        dt = df_.schema[col_].dataType
-        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-            raise TypeError(
-                f"candidate_pairs_vectorized requires integral id columns; "
-                f"{col_} is {dt.simpleString()} — hash or index string ids first"
-            )
+    require_integral_ids(
+        "candidate_pairs_vectorized", (index_df, index_id), (query_df, query_id)
+    )
 
     # Size gate: collect through a limit of cap+1 so overflow is
     # detected in the SAME job (no extra count() pass); below the cap
@@ -274,7 +283,10 @@ def knn_topk(
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows,
         )
-    elif pq_overscan is not None and n <= max_index_rows * 32:
+    elif pq_overscan is not None and n <= max_index_rows * 32 and dim % 8 == 0:
+        # dim must split into the default m=8 subspaces; otherwise the
+        # band is skipped and the facade falls through to LSH exactly
+        # as it did before the band existed
         from .pq import knn_join_pq  # deferred: pq imports this module
 
         out = knn_join_pq(
@@ -291,6 +303,35 @@ def knn_topk(
     return out
 
 
+def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """``(id, _xv)`` × broadcast ``(centroid_id, _cv)`` →
+    ``(id, _xv, centroid_id)``: argmax-cosine assignment with
+    centroid_id ASC tie-break, shared by :func:`knn_join_ivf`'s
+    inverted lists and :func:`train_ivf_codebook`'s Lloyd rounds.
+
+    Shape rationale: the broadcast-join expansion is N×nlist rows; a
+    row_number window would shuffle ALL of them (each dragging the
+    dim-double vector along). The max(struct) aggregate reduces to
+    one row per id map-side (partial aggregation), so the exchange
+    carries N compact rows — measured 5.8× faster at sf0.1, and the
+    gap grows with nlist. ``_xv`` rides as F.first, deterministic
+    because every row in an id group carries the identical vector."""
+    return (
+        xn.join(F.broadcast(cent), F.lit(True))
+        .select(
+            id_col,
+            "_xv",
+            F.struct(
+                dot(F.col("_xv"), F.col("_cv")).alias("sim"),
+                (-F.col("centroid_id")).alias("neg_centroid"),
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.first("_xv").alias("_xv"), F.max("_s").alias("_best"))
+        .select(id_col, "_xv", (-F.col("_best.neg_centroid")).alias("centroid_id"))
+    )
+
+
 def train_ivf_codebook(
     index_df: DataFrame,
     index_id: str = "neighbor_id",
@@ -303,7 +344,12 @@ def train_ivf_codebook(
     ``seed_mod``, then ``rounds`` Lloyd iterations (assign each vector
     to its argmax-cosine centroid, recompute each centroid as the
     renormalized mean of its members). Returns ``(centroid_id,
-    <vec_col>)`` ready for ``knn_join_ivf(codebook=...)``.
+    <vec_col>)`` ready for ``knn_join_ivf(codebook=...)``. A centroid
+    whose cluster goes empty in a round DROPS OUT (the returned nlist
+    can be smaller than the seed count — same convention as the
+    registered ``ivf_kmeans_refine`` query, where both engines drop
+    empties identically); seed more centroids if an exact nlist
+    matters.
 
     Scale: per round, assignment is a broadcast-codebook join reduced
     by a map-side-combined aggregate (the exchange carries one row per
@@ -321,20 +367,7 @@ def train_ivf_codebook(
         F.col("_id").alias("centroid_id"), F.col("_xv").alias("_cv")
     )
     for _ in range(rounds):
-        assigned = (
-            xn.join(F.broadcast(cent), F.lit(True))
-            .select(
-                "_id",
-                "_xv",
-                F.struct(
-                    dot(F.col("_xv"), F.col("_cv")).alias("sim"),
-                    (-F.col("centroid_id")).alias("neg_centroid"),
-                ).alias("_s"),
-            )
-            .groupBy("_id")
-            .agg(F.first("_xv").alias("_xv"), F.max("_s").alias("_best"))
-            .select("_xv", (-F.col("_best.neg_centroid")).alias("centroid_id"))
-        )
+        assigned = _nearest_centroid(xn, cent, "_id").select("_xv", "centroid_id")
         means = (
             assigned.select("centroid_id", F.posexplode("_xv").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
@@ -400,32 +433,7 @@ def knn_join_ivf(
             F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
         )
 
-    # Nearest-centroid assignment as a max_by hash-agg, NOT a window:
-    # the broadcast-join expansion is N×nlist rows, and a row_number
-    # window would shuffle ALL of them (each dragging the dim-double
-    # vector along). max_by reduces to one struct per key map-side
-    # (partial aggregation), so the exchange carries N compact rows —
-    # measured 5.8× faster at sf0.1 and the difference grows with
-    # nlist. Tie-break (-centroid_id inside the struct max) matches
-    # the window's `c_sim DESC, centroid_id ASC` exactly; _xv rides as
-    # F.first, which is deterministic here because every row in a
-    # neighbor_id group carries the identical vector.
-    inverted = (
-        x.join(F.broadcast(cent), F.lit(True))
-        .select(
-            index_id,
-            "_xv",
-            F.struct(
-                dot(F.col("_xv"), F.col("_cv")).alias("c_sim"),
-                (-F.col("centroid_id")).alias("neg_centroid"),
-            ).alias("_s"),
-        )
-        .groupBy(index_id)
-        .agg(
-            F.first("_xv").alias("_xv"),
-            (-F.expr("max_by(_s.neg_centroid, _s)")).alias("centroid_id"),
-        )
-    )
+    inverted = _nearest_centroid(x, cent, index_id)
 
     # Probe selection: per-query top-n_probe centroids via an array
     # sort over the collected (neg_sim, centroid_id) pairs — same

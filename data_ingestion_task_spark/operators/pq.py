@@ -49,23 +49,28 @@ def train_pq_codebooks(
     max_sample_rows: int = 100_000,
 ):
     """Per-subspace k-means codebooks from a deterministic index
-    sample (``index_id % sample_mod == 0``): returns a numpy array of
+    sample (``index_id % sample_mod == 0``, CAPPED at
+    ``max_sample_rows`` — the cap truncates, it never raises: PQ
+    training is sample-based by construction and 100k vectors
+    saturate 16-256 centroids per subspace): returns a numpy array of
     shape ``(m, n_codes, dim//m)``. Init is the first ``n_codes``
     sample vectors in id order (deterministic); Lloyd updates keep an
     empty cluster's previous centroid. Vectors are L2-normalized
     first, so ADC approximates cosine."""
     import numpy as np
 
+    if n_codes > 256:
+        raise ValueError(
+            f"n_codes={n_codes} > 256 cannot be stored as uint8 codes"
+        )
     sample = (
         normalize_embeddings(index_df, vec_col)
         .filter(F.col(index_id) % sample_mod == 0)
         .orderBy(index_id)
-        .limit(max_sample_rows + 1)
+        .limit(max_sample_rows)
         .select(index_id, vec_col)
         .collect()
     )
-    if len(sample) > max_sample_rows:
-        raise BroadcastIndexTooLarge(len(sample), max_sample_rows)
     mat = np.array([list(r[1]) for r in sample], dtype=np.float64)
     n, dim = mat.shape
     if dim % m != 0:
@@ -148,22 +153,50 @@ def knn_join_pq(
     import numpy as np
     from pyspark.sql.window import Window
 
+    from .knn import require_integral_ids
+
+    require_integral_ids("knn_join_pq", (index_df, index_id), (query_df, query_id))
     if codebooks is None:
         codebooks = train_pq_codebooks(
             index_df, index_id, vec_col, m=m, n_codes=n_codes
         )
     m, n_codes, d_sub = codebooks.shape
 
-    # gate rides the code collect (limit cap+1, same-job overflow check)
-    code_rows = (
+    # Gate rides the collect (limit cap+1, same-job overflow check),
+    # and the collect itself ships per-batch PACKED blobs — raw int64
+    # ids + uint8 codes bytes, a handful of rows total — so driver
+    # memory tracks the compact numpy arrays (~9 bytes/vector at m=8),
+    # not millions of Row objects.
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids = pdf[index_id].to_numpy(dtype=np.int64)
+            pcodes = np.array(list(pdf["codes"]), dtype=np.uint8)
+            yield pd.DataFrame(
+                {
+                    "ids": [pids.tobytes()],
+                    "codes": [pcodes.tobytes()],
+                    "n": [len(pdf)],
+                }
+            )
+
+    blobs = (
         pq_encode(index_df, codebooks, index_id, vec_col)
         .limit(max_index_rows + 1)
+        .mapInPandas(pack, "ids binary, codes binary, n long")
         .collect()
     )
-    if len(code_rows) > max_index_rows:
-        raise BroadcastIndexTooLarge(len(code_rows), max_index_rows)
-    ids = np.array([r[0] for r in code_rows], dtype=np.int64)
-    codes = np.array([list(r[1]) for r in code_rows], dtype=np.uint8)
+    total = sum(r["n"] for r in blobs)
+    if total > max_index_rows:
+        raise BroadcastIndexTooLarge(total, max_index_rows)
+    ids = np.frombuffer(b"".join(r["ids"] for r in blobs), dtype=np.int64)
+    codes = np.frombuffer(b"".join(r["codes"] for r in blobs), dtype=np.uint8).reshape(
+        -1, m
+    )
     spark = query_df.sparkSession
     bc = spark.sparkContext.broadcast((ids, codes, np.ascontiguousarray(codebooks)))
 
@@ -176,7 +209,6 @@ def knn_join_pq(
 
         bids, bcodes, books = bc.value
         mm, nc, ds = books.shape
-        col_idx = np.arange(bcodes.shape[0])
         for pdf in batches:
             if len(pdf) == 0:
                 continue

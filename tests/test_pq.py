@@ -65,21 +65,25 @@ def test_pq_search_recall_and_exact_rerank(spark, split):
     r8, r16 = recall(8), recall(16)
     assert r16 >= 0.70
     assert r16 >= r8
-    # surfaced sims are TRUE cosines: every (q, n, sim) triple the PQ
-    # search returns must match the exact search's sim for that pair
-    res = knn_join_pq(x, q, k=3, overscan=16).select(
-        "query_id", "neighbor_id", F.round("sim", 9).alias("sim")
+    # surfaced sims are TRUE cosines: recompute the cosine of every
+    # returned (query, neighbor) pair from the raw vectors and demand
+    # bit-equality — including the approximate pairs outside exact's
+    # top-k, which is where a fake score would hide
+    from data_ingestion_task_spark.functions.vectors import dot
+    from data_ingestion_task_spark.operators.knn import normalize_embeddings
+
+    res = knn_join_pq(x, q, k=3, overscan=16)
+    qn = normalize_embeddings(q).select("query_id", F.col("embedding").alias("_qv"))
+    xn = normalize_embeddings(x).select(
+        "neighbor_id", F.col("embedding").alias("_xv")
     )
-    ex = exact.select("query_id", "neighbor_id", F.round("sim", 9).alias("sim"))
-    assert res.join(ex, ["query_id", "neighbor_id"], "left_semi").count() + res.join(
-        ex.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
-    ).count() == res.count()
-    mismatched = (
-        res.join(ex, ["query_id", "neighbor_id"])
-        .filter(res["sim"] != ex["sim"])
-        .count()
+    recomputed = (
+        res.join(qn, "query_id")
+        .join(xn, "neighbor_id")
+        .select("sim", dot(F.col("_qv"), F.col("_xv")).alias("true_sim"))
     )
-    assert mismatched == 0
+    assert recomputed.count() == res.count()
+    assert recomputed.filter(F.col("sim") != F.col("true_sim")).count() == 0
 
 
 def test_pq_gate_raises_past_cap(spark, split):
