@@ -541,11 +541,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected = edges.select(F.col("a").alias("doc_id")).distinct()
     labels = connected.select("doc_id", F.col("doc_id").alias("cluster_id"))
     changed = 1
+    # Same localCheckpoint-per-round as dedup_cluster_star (see the
+    # rationale there): persist alone nests each round's lineage into
+    # the next plan AND into every downstream consumer —
+    # dedup_sampling_weights was analyzing a ~3 MB plan string;
+    # checkpointing truncates it to the checkpointed leaves. The
+    # coalesce pins the per-round width to the edge set's instead of
+    # letting the join/groupBy re-widen micro-stages each round.
+    parts = max(edges.rdd.getNumPartitions(), 1)
     for _round in range(24):  # converges in <=3 for duplicate graphs
         if changed == 0:
             break
-        new_labels = step(labels.select("doc_id", "cluster_id")).persist()
-        # The convergence probe doubles as the cache materialization.
+        new_labels = (
+            step(labels.select("doc_id", "cluster_id"))
+            .coalesce(parts)
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F.col("prev") != F.col("cluster_id")).count()
         if labels in cached:
             labels.unpersist()
