@@ -555,12 +555,9 @@ def random_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     one n-row merge, no global sort."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
+        d.orderBy(h.asc(), F.col("doc_id").asc())
+        .limit(25)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )

@@ -140,6 +140,75 @@ def test_kmeans_broadcasts_codebook_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_random_sample_is_take_ordered(plans):
+    # seeded hash-order sample must plan as partial top-k per partition
+    # + n-row merge (TakeOrderedAndProject), never a global
+    # row_number() window (single-reducer at scale)
+    plan = plans("random_sample_n")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def _global_windows(df) -> list[str]:
+    """Logical-plan walk: class names of Window nodes with an EMPTY
+    partitionSpec (the single-reducer shape — every row moves to one
+    partition before the window function runs)."""
+    hits: list[str] = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            hits.append(node.getClass().getSimpleName())
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+# Every entry here must carry a justification — a global window is only
+# acceptable over an already-aggregated, provably tiny input.
+GLOBAL_WINDOW_WHITELIST = {
+    # 10 post-aggregation bin rows (plans/eval_plans.py): the window
+    # runs AFTER the groupBy collapsed the corpus to <=10 rows.
+    "ece_calibration",
+    # <=7 post-aggregation taxonomy rows (plans/extract_plans.py): the
+    # share denominator runs over the groupBy output; the alternative
+    # (driver count()) would re-run the render+extract subtree.
+    "feedback_error_clusters",
+}
+
+
+def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
+    """The lint VERDICT r4 asked for: sweep every registered query's
+    optimized logical plan and fail on any Window with no partition
+    spec outside the justified whitelist. random_sample_n's global
+    row_number survived two rounds because nothing mechanical caught
+    it — this does."""
+    qs = registry.queries_dict()
+    offenders = []
+    for name in sorted(qs):
+        df = qs[name](spark, sf_dir)
+        if _global_windows(df) and name not in GLOBAL_WINDOW_WHITELIST:
+            offenders.append(name)
+    assert offenders == [], f"unpartitioned Window in: {offenders}"
+
+
+def test_window_lint_catches_seeded_regression(spark, sf_dir):
+    """Prove the lint has teeth: rebuild the exact pre-r5
+    random_sample_n shape (global row_number) and assert the walker
+    flags it, while the landed TakeOrderedAndProject shape passes."""
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    bad = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    ).filter(F.col("rn") <= 25)
+    assert _global_windows(bad)
+    good = registry.queries_dict()["random_sample_n"](spark, sf_dir)
+    assert not _global_windows(good)
+
+
 def test_lsh_topk_ranks_without_window(plans):
     # the top-1 + candidate count come from ONE aggregate with
     # map-side partial combine (the exchange carries one row per
