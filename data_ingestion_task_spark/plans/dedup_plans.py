@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.cache import ReleaseHandle, release_frame
 from ..functions.text import fingerprint_md5, hash64, word_len, word_shingles, words
 from ..sources.tables import load_table
 from .registry import query
@@ -559,7 +560,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = new_labels.filter(F.col("prev") != F.col("cluster_id")).count()
         if labels in cached:
-            labels.unpersist()
+            # release_frame, not unpersist: localCheckpoint blocks live
+            # on the checkpointed RDD, outside the SQL cache manager
+            release_frame(labels)
             cached.remove(labels)
         labels = new_labels
         cached.append(labels)
@@ -591,8 +594,13 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_canonical"),
     )
     result = clustered.unionByName(singletons).orderBy("doc_id")
-    result._cached_deps = cached + upstream_deps
+    # loop survivors are localCheckpoint()ed → hand out ReleaseHandles
+    # so the caller contract's dep.unpersist() actually frees blocks
+    result._cached_deps = [ReleaseHandle(c) for c in cached] + upstream_deps
     return result
+
+
+_STARS_PER_CHECKPOINT = 2  # large/small pairs composed per checkpoint+probe
 
 
 def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, list]:
@@ -608,7 +616,11 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
     present, no self-loops. Returns ``(labels, cached)``: a
     (doc_id, cluster_id) frame over every edge-touching node with
     cluster_id = MIN node id of its component, plus the list of
-    persisted intermediates for the caller to unpersist."""
+    persisted intermediates for the caller to release (via
+    ``functions.cache.release_frame`` — checkpointed frames don't free
+    through plain ``unpersist``). Each of the ``max_rounds`` loop
+    iterations composes ``_STARS_PER_CHECKPOINT`` large/small star
+    pairs into one checkpointed stage."""
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         neigh = e if large else e.filter(F.col("b") < F.col("a"))
@@ -647,13 +659,18 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
         # round's full lineage — Catalyst re-analyzes a tree that
         # grows ~6 operators/round and per-round wall time balloons
         # (measured: 6→10s→minutes by round 2 on a 59-edge chain).
-        # Checkpoint-per-round keeps analysis cost constant; same
-        # reason GraphFrames' connectedComponents checkpoints.
-        nxt = (
-            star(star(cur, large=True), large=False)
-            .coalesce(parts)
-            .localCheckpoint(eager=True)
-        )
+        # Checkpointing keeps analysis cost constant; same reason
+        # GraphFrames' connectedComponents checkpoints. Since round 5
+        # the loop checkpoints every SECOND large/small pair: the
+        # query's cost is driver-coordination-bound (checkpoint
+        # round-trips + convergence probes, the term external tenant
+        # load inflates — r4 finding #3), and star contraction only
+        # shrinks per double-pair, so halving the probe cadence keeps
+        # convergence detection exact while halving the driver term.
+        nxt = cur
+        for _ in range(_STARS_PER_CHECKPOINT):
+            nxt = star(star(nxt, large=True), large=False)
+        nxt = nxt.coalesce(parts).localCheckpoint(eager=True)
         # Convergence probe: canonical (a<b) edge multiset fingerprint.
         sig = (
             nxt.filter(F.col("a") < F.col("b"))
@@ -668,7 +685,7 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
         )
         sig = (sig["n"], sig["h"])
         if cur in cached:
-            cur.unpersist()
+            release_frame(cur)  # checkpoint blocks live on the RDD
             cached.remove(cur)
         cur = nxt
         cached.append(cur)
@@ -761,7 +778,11 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_canonical"),
     )
     result = clustered.unionByName(singletons).orderBy("doc_id")
-    result._cached_deps = [edges] + cached + upstream_deps
+    # star-loop survivors are localCheckpoint()ed → ReleaseHandles (see
+    # dedup_cluster_canonical); edges is a plain persist
+    result._cached_deps = (
+        [edges] + [ReleaseHandle(c) for c in cached] + upstream_deps
+    )
     return result
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import hash64
 from ..functions.vectors import dot, ip_to_unit, l2_distance
 from ..operators.knn import hyperplane, knn_join_exact, knn_join_lsh, normalize_embeddings
 from ..sources.tables import load_table
@@ -800,7 +801,7 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between "deterministic codebook" and a real 100 TB IVF deployment)
 # ---------------------------------------------------------------------------
 
-_KM_SEED_MOD = _IVF_AUDIT_MOD  # same seeding as the IVF queries/audit
+_KM_SAMPLE = 1024  # training-sample cap: nlist = isqrt(sample) stays O(1) in N
 _KM_ROUNDS = 2
 
 
@@ -848,11 +849,23 @@ def _d_km_recompute(a_cte: str) -> str:
       SELECT vec_id, {_D_VNORM} AS v FROM embeddings
     ),
     x0 AS (SELECT vec_id AS neighbor_id, v FROM n WHERE vec_id % 5 <> 0),
-    c0 AS (SELECT neighbor_id AS centroid_id, v AS cv FROM x0
-           WHERE neighbor_id % {_KM_SEED_MOD} = 1),
-    a1 AS ({_d_km_assign('x0', 'c0')}),
+    smp AS (
+      SELECT neighbor_id, v,
+             ('0x' || substr(md5('kmsmp:' || CAST(neighbor_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM x0 ORDER BY h, neighbor_id LIMIT {_KM_SAMPLE}
+    ),
+    c0 AS (
+      SELECT centroid_id, cv FROM (
+        SELECT neighbor_id AS centroid_id, v AS cv,
+               row_number() OVER (ORDER BY h, neighbor_id) AS rn,
+               COUNT(*) OVER () AS n_s
+        FROM smp
+      ) WHERE rn <= CAST(floor(sqrt(n_s)) AS BIGINT)
+    ),
+    xs AS (SELECT neighbor_id, v FROM smp),
+    a1 AS ({_d_km_assign('xs', 'c0')}),
     c1 AS ({_d_km_recompute('a1')}),
-    a2 AS ({_d_km_assign('x0', 'c1')}),
+    a2 AS ({_d_km_assign('xs', 'c1')}),
     c2 AS ({_d_km_recompute('a2')}),
     a3 AS ({_d_km_assign('x0', 'c2', keep_sim=True)})
     SELECT centroid_id,
@@ -865,26 +878,31 @@ def _d_km_recompute(a_cte: str) -> str:
 def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means codebook training for the IVF path — the
     FAISS ``IndexIVFFlat.train()`` analogue the deterministic codebook
-    of ``ann_ivf_topk`` / ``ivf_recall_audit`` stands in for: seeds =
-    index ids ≡ 1 mod {_KM_SEED_MOD}, then {_KM_ROUNDS} unrolled Lloyd
-    rounds (assign to argmax-cosine centroid, recompute the spherical
-    mean), then a final assignment reporting per-centroid membership
-    and mean member-to-centroid cosine. Run on a sample before a
-    100 TB ingest to pick nlist ≈ √N centroids that match the data.
+    of ``ann_ivf_topk`` / ``ivf_recall_audit`` stands in for, and since
+    round 5 the registered plan follows its own production rule: train
+    on a DETERMINISTIC ≤{_KM_SAMPLE}-row sample (seeded-hash order +
+    limit — `TakeOrderedAndProject`, the `random_sample_n` idiom) with
+    nlist = ⌊√(sample rows)⌋ seeds (the sample's first rows in hash
+    order), {_KM_ROUNDS} unrolled Lloyd rounds on the sample (assign to
+    argmax-cosine centroid, recompute the spherical mean), then ONE
+    full-index assignment reporting per-centroid membership and mean
+    member-to-centroid cosine.
 
-    Scale: each assignment is a broadcast-codebook join + one
-    map-side-combined max(struct) aggregate (no shuffle of the
-    product); each recompute is a posexplode → (centroid, dim)-ary
-    hash-agg — both linear in N. At {_KM_ROUNDS} rounds the Lloyd
-    chain composes into ONE lazy plan (each broadcast materializes
-    the previous round's tiny codebook, so every stage still runs
-    once); raising the round count is where a production trainer
-    would persist/localCheckpoint the codebook per round to bound
-    plan depth. Cross-engine parity: component sums and sim
-    sums go through DECIMAL(12,9) (order-independent), and the
-    renormalization is a sequential HOF reduction in both engines, so
-    the refined codebook — and therefore every assignment — is
-    bit-identical to the DuckDB twin."""
+    Scale: the r4 probe caught the old id-residue seeding growing
+    nlist ∝ N (assignment work ~N², 7.8× at 10× data); now training
+    cost is O(sample · nlist) = O(1) in N and the only full-data pass
+    is the final broadcast-codebook assignment — linear in N with a
+    fixed ≤√{_KM_SAMPLE}·dim codebook. Each assignment is a broadcast
+    join + one map-side-combined max(struct) aggregate (no shuffle of
+    the product); each recompute is a posexplode → (centroid, dim)-ary
+    hash-agg over sample rows only. The one driver action is a count()
+    of the persisted ≤{_KM_SAMPLE}-row sample (bounded, SCALE.md §6).
+    Cross-engine parity: component sums and sim sums go through
+    DECIMAL(12,9) (order-independent), and the renormalization is a
+    sequential HOF reduction in both engines, so the refined codebook —
+    and therefore every assignment — is bit-identical to the DuckDB
+    twin."""
+    import math
 
     e = load_table(spark, sf_dir, "embeddings")
     xn = (
@@ -894,12 +912,19 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("neighbor_id", F.col("embedding").alias("_xv"))
-        .persist()  # scanned once per assignment round
+        .persist()  # scanned by the sample pass and the final assignment
     )
+    h = hash64(F.concat(F.lit("kmsmp:"), F.col("neighbor_id").cast("string")))
+    smp = (
+        xn.orderBy(h.asc(), F.col("neighbor_id").asc())
+        .limit(_KM_SAMPLE)
+        .persist()  # scanned once per Lloyd round
+    )
+    nlist = math.isqrt(smp.count())  # bounded action: ≤ _KM_SAMPLE rows
 
-    def assign(cent: DataFrame) -> DataFrame:
+    def assign(x: DataFrame, cent: DataFrame) -> DataFrame:
         return (
-            xn.join(F.broadcast(cent), F.lit(True))
+            x.join(F.broadcast(cent), F.lit(True))
             .select(
                 "neighbor_id",
                 "_xv",
@@ -948,12 +973,14 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    cent = xn.filter(F.col("neighbor_id") % _KM_SEED_MOD == 1).select(
-        F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv")
+    cent = (
+        smp.orderBy(h.asc(), F.col("neighbor_id").asc())
+        .limit(nlist)
+        .select(F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv"))
     )
     for _ in range(_KM_ROUNDS):
-        cent = recompute(assign(cent))
-    final = assign(cent)
+        cent = recompute(assign(smp, cent))
+    final = assign(xn, cent)
     result = (
         final.groupBy("centroid_id")
         .agg(
@@ -969,5 +996,5 @@ def ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
-    result._cached_deps = [xn]  # library callers: unpersist when done
+    result._cached_deps = [xn, smp]  # library callers: unpersist when done
     return result

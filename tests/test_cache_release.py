@@ -1,0 +1,72 @@
+"""release_frame must actually free localCheckpoint blocks — the
+ADVICE r4 finding: Dataset.unpersist() is a no-op on a checkpointed
+frame (blocks live on the RDD, outside the SQL cache manager), so the
+dedup loops' per-round releases and api.release leaked storage until
+JVM GC."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_task_spark.functions.cache import release_frame
+
+
+def _n_persistent(spark) -> int:
+    return spark._jsparkSession.sparkContext().getPersistentRDDs().size()
+
+
+def test_release_frame_frees_checkpoint_blocks(spark):
+    base = _n_persistent(spark)
+    ck = (
+        spark.range(10_000)
+        .select("id", (F.col("id") * 2).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    assert _n_persistent(spark) == base + 1
+    ck.unpersist()  # the documented no-op
+    assert _n_persistent(spark) == base + 1
+    release_frame(ck)
+    assert _n_persistent(spark) == base
+
+
+def test_release_frame_handles_plain_persist_and_cold_frames(spark):
+    base = _n_persistent(spark)
+    p = spark.range(1_000).persist()
+    p.count()
+    release_frame(p)
+    # plain persisted frames go through the cache manager (persistent
+    # RDD count returns to base once the cached plan is dropped)
+    assert _n_persistent(spark) == base
+    release_frame(spark.range(10))  # never cached: must not raise
+
+
+def test_api_release_frees_cluster_checkpoints(spark, sf_dir):
+    """The caller contract end-to-end: dedup_cluster_canonical hands
+    its checkpointed loop survivor out via _cached_deps as a
+    ReleaseHandle, so api.release (plain dep.unpersist()) actually
+    returns persistent-RDD count to baseline."""
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.dedup_plans import dedup_cluster_canonical
+
+    base = _n_persistent(spark)
+    res = dedup_cluster_canonical(spark, sf_dir)
+    res.count()
+    assert _n_persistent(spark) > base  # loop survivor + lsh caches live
+    api.release(res)
+    assert _n_persistent(spark) == base
+
+
+def test_star_loop_releases_intermediate_rounds(spark):
+    from data_ingestion_task_spark.plans.dedup_plans import _star_components
+
+    base = _n_persistent(spark)
+    chain = [(i, i + 1) for i in range(30)] + [(i + 1, i) for i in range(30)]
+    edges = spark.createDataFrame(chain, "a long, b long")
+    labels, cached = _star_components(edges)
+    labels.collect()
+    # every non-final round's checkpoint was released in-loop: only the
+    # rounds still referenced by `cached` may hold blocks
+    assert _n_persistent(spark) <= base + len(cached)
+    for dep in cached:
+        release_frame(dep)
+    assert _n_persistent(spark) == base

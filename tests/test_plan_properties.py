@@ -118,8 +118,10 @@ def test_star_components_converges_on_long_chain(spark):
     edges = spark.createDataFrame(chain, "a long, b long")
     labels, cached = _star_components(edges)
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    from data_ingestion_task_spark.functions.cache import release_frame
+
     for dep in cached:
-        dep.unpersist()
+        release_frame(dep)
     assert got == {**{i: 0 for i in range(n)}, **{1000 + i: 1000 for i in range(10)}}
 
 
