@@ -1,0 +1,96 @@
+"""The bucketed-layout document pipeline demo (SCALE.md §8.1 flipped
+on): write the document-pipeline's two recurring join sides bucketed by
+``doc_id``, then run the join + per-doc rollup that every downstream
+eval/dedup query repeats — with ZERO hash exchanges at read time.
+
+The reference re-joins chunk-level predictions back to documents in
+every eval script (rag_3_4.py:343-353 chunk→doc vote,
+metrics_8_6.py doc-level accuracy); at 100 TB that join's shuffle is
+the recurring cost. Paying the shuffle ONCE at write time
+(`bucketBy(doc_id)`, sources/bucketing.py) makes every later
+join/groupBy on doc_id exchange-free — the plan property is asserted
+in tests/test_plan_properties.py::test_bucketed_query_plans_zero_hash_exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.bucketing import read_table, write_bucketed
+from ..sources.tables import load_table
+from .registry import query
+
+_N_BUCKETS = 16
+_DOCS_TABLE = "b5_docs"
+_CHUNKS_TABLE = "b5_doc_chunks"
+
+_D_WORDS = "str_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "bucketed_doc_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, {_D_WORDS} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS st, ws
+      FROM w
+    ), chunks AS (
+      SELECT doc_id, CAST(st // 48 AS INTEGER) AS chunk_idx,
+             CAST(len(ws[st+1 : st+64]) AS INTEGER) AS n_chunk_words
+      FROM s
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_words) AS BIGINT) AS total_chunk_words
+    FROM chunks c JOIN (SELECT doc_id, lang, source FROM documents) d
+      ON c.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.lang, d.source
+    ORDER BY d.doc_id
+    """,
+)
+def bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end bucketed document pipeline: (1) write the docs dim
+    and the 64/16 chunk frame (`chunk_explode` grain) as managed
+    tables bucketed by ``doc_id`` with matching bucket counts and
+    in-bucket sort; (2) re-read and run the pipeline's recurring
+    chunk⋈doc join + per-doc rollup. Steps after the write plan with
+    no hash exchange: the join sides are co-located per bucket and the
+    doc_id-keyed aggregation's required clustering is satisfied by the
+    bucketing (doc_id ⊆ grouping keys), so the only data movement left
+    is the final presentation sort (a range exchange over the rolled-up
+    doc-grain rows). The write is re-done per call (overwrite) so the
+    query stays deterministic; in production the write runs once per
+    ingest and the exchange-free reads amortize it across every
+    downstream query."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = T.explode_chunks(
+        d, text_col="text", id_cols=["doc_id"], chunk_size=64, overlap=16
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_chunk_words"),
+    )
+    write_bucketed(
+        d.select("doc_id", "lang", "source"),
+        _DOCS_TABLE,
+        "doc_id",
+        n_buckets=_N_BUCKETS,
+        sort_col="doc_id",
+    )
+    write_bucketed(
+        chunks, _CHUNKS_TABLE, "doc_id", n_buckets=_N_BUCKETS, sort_col="doc_id"
+    )
+    docs_b = read_table(spark, _DOCS_TABLE)
+    chunks_b = read_table(spark, _CHUNKS_TABLE)
+    return (
+        chunks_b.join(docs_b, "doc_id")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_words").cast("bigint").alias("total_chunk_words"),
+        )
+        .orderBy("doc_id")
+    )

@@ -230,6 +230,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        bucketed_plans,
         calibration_plans,
         corpus_plans,
         dedup_plans,

@@ -32,7 +32,22 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sorted) managed
     table. Joins/aggregations on ``bucket_col`` between tables written
     with the SAME ``n_buckets`` are planned without exchanges; the
-    in-bucket sort additionally removes the join's sort step."""
+    in-bucket sort additionally removes the join's sort step.
+
+    Overwrites are idempotent ACROSS sessions: a warehouse directory
+    left by a previous session is invisible to this session's
+    in-memory catalog, and ``saveAsTable`` refuses to adopt the
+    location (LOCATION_ALREADY_EXISTS) — so stale state is dropped
+    from both catalog and filesystem first."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         writer = writer.sortBy(sort_col)

@@ -287,8 +287,14 @@ class KeyedParquetStore:
         pinned at first merge so Python-literal type inference cannot
         land them in the wrong bucket. Like :meth:`read`, raises
         ``FileNotFoundError`` on a store that has never been merged
-        into (there is no value schema to shape an empty result)."""
+        into (there is no value schema to shape an empty result).
+        An empty ``keys`` returns an empty frame with the store's
+        schema (createDataFrame cannot infer a schema from zero
+        rows, so this is short-circuited to a pruned-to-nothing
+        read)."""
         self._repair()
+        if not list(keys):
+            return self.read().limit(0).drop("bucket")
         key_col = F.col(self.key)
         if self._key_type is not None:
             key_col = key_col.cast(self._key_type)

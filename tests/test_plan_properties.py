@@ -211,6 +211,22 @@ def test_window_lint_catches_seeded_regression(spark, sf_dir):
     assert not _global_windows(good)
 
 
+def test_bucketed_query_plans_zero_hash_exchanges(spark, sf_dir):
+    """SCALE.md §8.1 flipped on end-to-end: after bucketed_doc_join's
+    bucketed writes, the chunk⋈doc join and the doc_id-keyed rollup
+    plan with NO hash exchange (broadcast disabled so the join can't
+    sidestep the property); the only movement left is the final
+    presentation sort (one range exchange)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.queries_dict()["bucketed_doc_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the orderBy range exchange only
+
+
 def test_lsh_topk_ranks_without_window(plans):
     # the top-1 + candidate count come from ONE aggregate with
     # map-side partial combine (the exchange carries one row per

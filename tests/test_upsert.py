@@ -110,6 +110,16 @@ def test_lookup_prunes_to_hit_buckets(spark, tmp_path):
     assert st.lookup([999_999]).count() == 0
 
 
+def test_lookup_empty_keys_returns_empty_with_schema(spark, tmp_path):
+    # ADVICE r4: lookup([]) used to die inside createDataFrame with an
+    # opaque "can not infer schema from empty dataset"
+    st = _mk(spark, tmp_path, n_buckets=8)
+    st.merge(_df(spark, [(1, "a")]))
+    out = st.lookup([])
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
 def test_foreach_batch_merger(spark, tmp_path):
     st = _mk(spark, tmp_path, n_buckets=4)
     fn = st.foreach_batch_merger()
