@@ -600,7 +600,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-_STARS_PER_CHECKPOINT = 2  # large/small pairs composed per checkpoint+probe
+# Large/small pairs composed per checkpoint+probe. 1 is the MEASURED
+# optimum: the r4 verdict hypothesized 2 would halve the
+# driver-coordination term, but the A/B at sf0.1 read 13.3s vs 56.0s
+# (same session, same load) — AQE already makes one driver round-trip
+# per shuffle stage, so composing pairs saves no coordination, while
+# the doubled plan defeats exchange reuse around star()'s ~4
+# self-references even with a mid-pair persist. Kept as a knob so the
+# experiment is reproducible.
+_STARS_PER_CHECKPOINT = 1
 
 
 def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, list]:
@@ -660,17 +668,23 @@ def _star_components(edges: DataFrame, max_rounds: int = 50) -> tuple[DataFrame,
         # grows ~6 operators/round and per-round wall time balloons
         # (measured: 6→10s→minutes by round 2 on a 59-edge chain).
         # Checkpointing keeps analysis cost constant; same reason
-        # GraphFrames' connectedComponents checkpoints. Since round 5
-        # the loop checkpoints every SECOND large/small pair: the
-        # query's cost is driver-coordination-bound (checkpoint
-        # round-trips + convergence probes, the term external tenant
-        # load inflates — r4 finding #3), and star contraction only
-        # shrinks per double-pair, so halving the probe cadence keeps
-        # convergence detection exact while halving the driver term.
+        # GraphFrames' connectedComponents checkpoints. See the
+        # _STARS_PER_CHECKPOINT note for why one pair per checkpoint
+        # is the measured optimum; the mid-pair persist below only
+        # matters for cadence >= 2 (star() references its input ~4×
+        # — neigh/src paths plus the union's two und scans — so an
+        # un-materialized pair boundary multiplies recompute ~16×,
+        # measured 6s → 106s at sf0.1).
         nxt = cur
-        for _ in range(_STARS_PER_CHECKPOINT):
+        mids = []
+        for i in range(_STARS_PER_CHECKPOINT):
             nxt = star(star(nxt, large=True), large=False)
+            if i < _STARS_PER_CHECKPOINT - 1:
+                nxt = nxt.persist()
+                mids.append(nxt)
         nxt = nxt.coalesce(parts).localCheckpoint(eager=True)
+        for m in mids:
+            m.unpersist()  # checkpoint materialized — mid cache is dead
         # Convergence probe: canonical (a<b) edge multiset fingerprint.
         sig = (
             nxt.filter(F.col("a") < F.col("b"))
