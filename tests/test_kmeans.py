@@ -5,25 +5,37 @@ replica of the seed assignment, not the query's own plan."""
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 import pandas as pd
 
 from data_ingestion_task_spark.plans.vector_plans import (
-    _KM_SEED_MOD,
+    _KM_SAMPLE,
     ivf_kmeans_refine,
 )
 
 
 def _seed_objective(sf_dir: str) -> tuple[float, int, int]:
     """Summed max-cosine objective of the SEED codebook assignment,
-    computed straight from parquet with numpy."""
+    computed straight from parquet with numpy — replicating the
+    query's sampled seeding independently: hash-order ≤_KM_SAMPLE
+    training sample, seeds = its first isqrt(sample) rows. At the
+    test SF the sample covers the whole index, so Lloyd monotonicity
+    holds exactly on the reported (full-index) objective."""
     e = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    x = e[e.vec_id % 5 != 0]
+    x = e[e.vec_id % 5 != 0].reset_index(drop=True)
     v = np.stack(x.embedding.to_numpy()).astype("float64")
     v /= np.linalg.norm(v, axis=1, keepdims=True)
-    seed_mask = (x.vec_id % _KM_SEED_MOD == 1).to_numpy()
-    sims = v @ v[seed_mask].T
-    return float(sims.max(axis=1).sum()), len(x), int(seed_mask.sum())
+    h = x.vec_id.map(
+        lambda i: int(hashlib.md5(f"kmsmp:{i}".encode()).hexdigest()[:15], 16)
+    )
+    order = np.lexsort((x.vec_id.to_numpy(), h.to_numpy()))
+    sample = order[:_KM_SAMPLE]
+    seed_idx = sample[: math.isqrt(len(sample))]
+    sims = v @ v[seed_idx].T
+    return float(sims.max(axis=1).sum()), len(x), len(seed_idx)
 
 
 def test_refined_codebook_beats_seed_objective(spark, sf_dir):
