@@ -182,18 +182,29 @@ GLOBAL_WINDOW_WHITELIST = {
 
 
 def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
-    """The lint VERDICT r4 asked for: sweep every registered query's
-    optimized logical plan and fail on any Window with no partition
-    spec outside the justified whitelist. random_sample_n's global
-    row_number survived two rounds because nothing mechanical caught
-    it — this does."""
+    """The lint VERDICT r4 asked for, and two siblings in the same
+    sweep: for EVERY registered query, (a) no logical Window with an
+    empty partition spec outside the justified whitelist (the
+    single-reducer shape — random_sample_n's global row_number
+    survived two rounds because nothing mechanical caught it), (b) no
+    CartesianProduct anywhere (shuffled all-pairs product; gated
+    broadcast paths plan BroadcastNestedLoopJoin, which is allowed),
+    (c) no BatchEvalPython (row-at-a-time Python UDF — the §2.13
+    policy is Arrow-batched stages only)."""
     qs = registry.queries_dict()
-    offenders = []
+    windows, cartesian, row_python = [], [], []
     for name in sorted(qs):
         df = qs[name](spark, sf_dir)
         if _global_windows(df) and name not in GLOBAL_WINDOW_WHITELIST:
-            offenders.append(name)
-    assert offenders == [], f"unpartitioned Window in: {offenders}"
+            windows.append(name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+    assert windows == [], f"unpartitioned Window in: {windows}"
+    assert cartesian == [], f"CartesianProduct in: {cartesian}"
+    assert row_python == [], f"row-at-a-time Python UDF in: {row_python}"
 
 
 def test_window_lint_catches_seeded_regression(spark, sf_dir):
