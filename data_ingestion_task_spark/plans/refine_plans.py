@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .registry import query
-from .vector_plans import _D_SPLIT, _split
+from ._vector_shared import _D_SPLIT, _split
 from ..operators.knn import knn_join_exact
 
 # ---------------------------------------------------------------------------

@@ -23,35 +23,9 @@ from ..operators.knn import hyperplane, knn_join_exact, knn_join_lsh, normalize_
 from ..sources.tables import load_table
 from .registry import query
 
-DIM = 64
-_D_VNORM = (
-    "list_transform(CAST(embedding AS DOUBLE[]), "
-    "x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))"
-)
-
-_D_SPLIT = f"""
-    WITH n AS (
-      SELECT vec_id, label, {_D_VNORM} AS v FROM embeddings
-    ), q AS (SELECT vec_id AS query_id, label AS query_label, v FROM n WHERE vec_id % 5 = 0),
-       x AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, v FROM n WHERE vec_id % 5 <> 0),
-       p AS (SELECT q.query_id, q.query_label, x.neighbor_id, x.neighbor_label,
-                    list_dot_product(q.v, x.v) AS sim
-             FROM q CROSS JOIN x),
-       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, neighbor_id) AS rnk
-             FROM p)
-"""
-
-
-def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"), "embedding"
-    )
-    x = e.filter(F.col("vec_id") % 5 != 0).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"), "embedding"
-    )
-    return q, x
+# Shared with refine_plans via the _vector_shared leaf module (keeps
+# this module OUT of the refine family's certification dep closure).
+from ._vector_shared import DIM, _D_SPLIT, _D_VNORM, _split  # noqa: E402,F401
 
 
 @query(
