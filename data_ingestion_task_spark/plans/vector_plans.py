@@ -285,8 +285,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=_D_SPLIT
     + """
-    , cent AS (
-      SELECT neighbor_id AS centroid_id, v AS cv FROM x WHERE neighbor_id % 25 = 1
+    , cmod AS (
+      SELECT GREATEST(25, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS m FROM x
+    ), cent AS (
+      SELECT neighbor_id AS centroid_id, v AS cv FROM x
+      WHERE neighbor_id % (SELECT m FROM cmod) = 1
     ), assign AS (
       SELECT x.neighbor_id, x.v, cent.centroid_id,
              ROW_NUMBER() OVER (PARTITION BY x.neighbor_id
@@ -314,19 +317,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN, IVF-style (FAISS IndexIVFFlat analogue,
     complementing the flat index of Faiss_2_10.py:70-79): deterministic
-    centroid codebook (index ids ≡ 1 mod 25) → inverted lists by
-    nearest centroid → each query probes its 2 nearest lists → exact
-    cosine re-rank within. Candidate product shrinks by
+    centroid codebook (index ids ≡ 1 mod ``cent_mod``) → inverted
+    lists by nearest centroid → each query probes its 2 nearest lists
+    → exact cosine re-rank within. Candidate product shrinks by
     ~centroids/n_probe; recall tunes via (nlist, nprobe) exactly as in
-    IVF. See operators/knn.py:knn_join_ivf for the scale analysis."""
+    IVF. See operators/knn.py:knn_join_ivf for the scale analysis.
+
+    ``cent_mod`` scales with the index so nlist ≈ √N: a fixed mod
+    grows nlist ∝ N, making assignment and probe selection (both
+    N×nlist broadcast expansions) quadratic — measured 62× at 30×
+    data before this rule, ~linear after (SCALE.md §0b). The one
+    up-front count is a columnar scan, amortized across the run."""
+    from math import isqrt
+
     from ..operators.knn import knn_join_ivf
 
     q, x = _split(spark, sf_dir)
+    x = x.select("neighbor_id", "embedding")
+    n = x.count()
+    cent_mod = max(25, n // isqrt(n)) if n else 25
     res = knn_join_ivf(
-        x.select("neighbor_id", "embedding"),
+        x,
         q.select("query_id", "embedding"),
         k=3,
-        centroid_mod=25,
+        centroid_mod=cent_mod,
         n_probe=2,
     )
     return res.select(

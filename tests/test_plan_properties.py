@@ -246,3 +246,32 @@ def test_lsh_topk_ranks_without_window(plans):
     plan = plans("ann_lsh_topk")
     assert "Window" not in plan
     assert "partial_max" in plan  # map-side combine before the shuffle
+
+
+def test_ivf_cent_mod_matches_duckdb_formula():
+    # ann_ivf_topk derives cent_mod = max(25, n // isqrt(n)) on the
+    # driver; its oracle re-derives it in SQL as
+    # GREATEST(25, n // CAST(FLOOR(SQRT(n)) AS BIGINT)). The two must
+    # agree for every plausible index cardinality or the certified
+    # parity silently depends on n — sweep the boundary-heavy range
+    # (perfect squares +/-1, where float sqrt could round across the
+    # integer) and a log sweep up to 10^9.
+    import duckdb
+    from math import isqrt
+
+    ns = set()
+    for k in range(1, 2000):
+        ns.update((k * k - 1, k * k, k * k + 1))
+    n = 1
+    while n <= 10**9:
+        ns.update((n, n + 7))
+        n *= 3
+    ns = sorted(x for x in ns if x >= 1)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT n, GREATEST(25, n // CAST(FLOOR(SQRT(n)) AS BIGINT)) "
+        "FROM (SELECT UNNEST(?::BIGINT[]) AS n)",
+        [ns],
+    ).fetchall()
+    for n, duck_mod in rows:
+        assert duck_mod == max(25, n // isqrt(n)), n
