@@ -245,6 +245,7 @@ def load_all() -> None:
         pretrain_plans,
         refine_plans,
         relational_plans,
+        retrieval_plans,
         text_plans,
         vector_plans,
     )
