@@ -98,28 +98,43 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse-retrieval twin of ``rag_context_assembly``'s dense top-k
     (reference: rag_implementation.py's FAISS retrieve step).
 
-    Plan: tokenize narrow (dl computed before the explode, so doc
-    length costs no extra shuffle) → (doc_id, term) hash-agg for tf →
-    broadcast the query terms to prune postings map-side → broadcast
-    the vocab-sized df table and 1-row corpus stats → per-(query, doc)
+    Plan: one tokenization pass reduces each doc to a persisted
+    (doc_id, dl, query-term tokens) narrow frame (the regex scan is
+    the linear cost and would otherwise run once per branch; dl before
+    the explode means doc length costs no shuffle) → (doc_id, term)
+    hash-agg over query-term postings only → broadcast the query
+    terms, the df table, and the 1-row corpus stats → per-(query, doc)
     DECIMAL sum of 6-dp-rounded per-term scores (order-independent,
     the repo's float-parity idiom) → per-query top-3 window."""
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
     )
-    words = d.select(
+    ws = F.filter(F.split(norm, " "), lambda w: w != "")
+    # One tokenization pass over the corpus: the regex normalization is
+    # the linear cost term (measured ~2.7s of the ~13s sf1 total, and
+    # it ran TWICE — once for corpus stats, once for tf). Reduce each
+    # doc to (dl, query-term tokens only) in the same narrow
+    # projection and persist that frame — a long plus a few tokens per
+    # doc, ~1000x smaller than the text — so the stats and tf branches
+    # both read the cache. Query-term filtering BEFORE the explode and
+    # the (doc_id, term) shuffle also keeps postings of non-query
+    # terms out of the exchange entirely.
+    qterm_list = sorted({t for _, t in _QUERY_TERMS})
+    nw = d.select(
         "doc_id",
-        F.filter(F.split(norm, " "), lambda w: w != "").alias("ws"),
+        F.size(ws).cast("bigint").alias("dl"),
+        F.filter(ws, lambda w: w.isin(qterm_list)).alias("qtoks"),
+    ).persist()
+    tf = (
+        nw.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
     )
-    tok = words.select(
-        "doc_id", F.size("ws").cast("bigint").alias("dl"), F.explode("ws").alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = words.agg(
+    stats = nw.agg(
         F.count("*").alias("n_docs"),
-        (F.sum(F.size("ws").cast("bigint")).cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     q = spark.createDataFrame(_QUERY_TERMS, "query_id int, term string")
 
@@ -141,7 +156,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    result = (
         scored.groupBy("query_id", "doc_id")
         .agg(F.sum("s").cast("double").alias("score"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -149,3 +164,5 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "score")
         .orderBy("query_id", "rnk")
     )
+    result._cached_deps = [nw]  # library callers: unpersist when done
+    return result

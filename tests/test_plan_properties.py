@@ -154,7 +154,13 @@ def test_random_sample_is_take_ordered(plans):
 def _global_windows(df) -> list[str]:
     """Logical-plan walk: class names of Window nodes with an EMPTY
     partitionSpec (the single-reducer shape — every row moves to one
-    partition before the window function runs)."""
+    partition before the window function runs).
+
+    Walks the ANALYZED plan, not the optimized one: cache substitution
+    runs before optimization, so in the optimized plan every persisted
+    subtree is an InMemoryRelation LEAF and anything beneath it is
+    invisible — mixture_temperature's global rate-table window hid
+    there until a runtime WindowExec warning exposed the blind spot."""
     hits: list[str] = []
 
     def walk(node):
@@ -164,7 +170,7 @@ def _global_windows(df) -> list[str]:
         while it.hasNext():
             walk(it.next())
 
-    walk(df._jdf.queryExecution().optimizedPlan())
+    walk(df._jdf.queryExecution().analyzed())
     return hits
 
 
@@ -178,6 +184,10 @@ GLOBAL_WINDOW_WHITELIST = {
     # share denominator runs over the groupBy output; the alternative
     # (driver count()) would re-run the render+extract subtree.
     "feedback_error_clusters",
+    # ~20 post-aggregation source rows (plans/corpus_plans.py): the
+    # weight/corpus_n denominators window over the per-source rate
+    # table, hidden under its persist() until the analyzed-plan walk.
+    "mixture_temperature",
 }
 
 
