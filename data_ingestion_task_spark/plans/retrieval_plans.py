@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._vector_shared import _D_SPLIT
 from .registry import query
 
 # BM25 constants (the Robertson/Sparck-Jones defaults).
@@ -165,4 +166,167 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rnk")
     )
     result._cached_deps = [nw]  # library callers: unpersist when done
+    return result
+
+
+# RRF constant (Cormack/Clarke/Buettcher's k=60 default).
+_RRF_K = 60
+_RARE_TERMS_PER_QUERY = 5
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=_D_SPLIT
+    + f"""
+    , lw AS (
+      SELECT doc_id, doc_id % 5 = 0 AS is_q, {_D_WORDS} AS ws FROM documents
+    ), ltf AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
+        SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM lw WHERE NOT is_q
+      ) GROUP BY doc_id, term, dl
+    ), ldf AS (
+      SELECT term, COUNT(*) AS df FROM ltf GROUP BY term
+    ), lstats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lw WHERE NOT is_q
+    ), qsel AS (
+      SELECT query_id, term, df FROM (
+        SELECT qt.query_id, qt.term, ldf.df,
+               ROW_NUMBER() OVER (PARTITION BY qt.query_id
+                                  ORDER BY ldf.df ASC, qt.term ASC) AS trn
+        FROM (SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+              FROM lw WHERE is_q AND doc_id % 25 = 0) qt
+        JOIN ldf USING (term)
+      ) WHERE trn <= {_RARE_TERMS_PER_QUERY}
+    ), lsc AS (
+      SELECT qsel.query_id, ltf.doc_id,
+             CAST(round(
+               ln((lstats.n_docs - qsel.df + 0.5) / (qsel.df + 0.5) + 1.0)
+               * (ltf.tf * ({_K1} + 1.0))
+               / (ltf.tf + {_K1} * (1.0 - {_B} + {_B} * ltf.dl / lstats.avgdl)),
+             6) AS DECIMAL(14,6)) AS s
+      FROM ltf JOIN qsel USING (term) CROSS JOIN lstats
+    ), lr AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS lrnk
+      FROM (SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+            FROM lsc GROUP BY query_id, doc_id)
+    ), fused AS (
+      SELECT query_id, doc_id,
+             COALESCE(1.0 / ({_RRF_K} + d.drnk), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + l.lrnk), 0.0) AS rrf
+      FROM (SELECT query_id, neighbor_id AS doc_id, rnk AS drnk
+            FROM r WHERE rnk <= 3 AND query_id % 25 = 0) d
+      FULL JOIN (SELECT query_id, doc_id, lrnk FROM lr WHERE lrnk <= 3) l
+      USING (query_id, doc_id)
+    ), franked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    )
+    SELECT query_id, rnk, doc_id, round(rrf, 9) AS rrf_score
+    FROM franked WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid query-by-example retrieval: for every query document
+    (doc_id % 5 == 0, the same split the dense plans use), fuse a
+    dense arm (cosine top-3 over the per-doc embeddings — exactly
+    ``knn_cosine_topk``'s semantics) with a lexical arm (BM25 top-3
+    where the query is the query doc's {_RARE_TERMS_PER_QUERY}
+    RAREST index-corpus terms) via reciprocal-rank fusion
+    (1/(k+rank), k={_RRF_K}) — the standard production pairing the
+    reference's dense-only RAG scripts lack.
+
+    The registered demo scores a 1-in-5 sample of the query split
+    (doc_id % 25 == 0, the ``ann_recall_audit`` sampling precedent):
+    the synthetic corpus's ~30-word vocabulary makes every term common
+    (df ≈ N/2 — the worst case for lexical retrieval, as the
+    near-isotropic vectors are for LSH), so unsampled candidates are
+    ~all-pairs × terms.
+
+    Query reduction (keep only the lowest-df terms, ties by term) is
+    what bounds the lexical arm at scale: the postings join touches
+    ≤{_RARE_TERMS_PER_QUERY} terms per query and candidate volume is
+    df-bounded, the same reason WAND-style engines prune by idf. One
+    tokenization pass feeds tf/df/stats/query-term branches from a
+    persisted narrow frame; both arms end in per-query partitioned
+    top-k windows, and the fusion is a keyed full-outer join of two
+    ≤3-row-per-query frames."""
+    from ..operators.knn import knn_join_exact
+    from ._vector_shared import _split
+
+    # Dense arm over the aligned embeddings table.
+    qv, xv = _split(spark, sf_dir)
+    qv = qv.filter(F.col("query_id") % 25 == 0)
+    dense = (
+        knn_join_exact(
+            xv.select("neighbor_id", "embedding"), qv.select("query_id", "embedding"), k=3
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("drnk"))
+    )
+
+    # Lexical arm: one tokenization pass shared by all four branches.
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    lw = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_q"),
+        F.filter(F.split(norm, " "), lambda w: w != "").alias("ws"),
+    ).persist()
+    idx = lw.filter(~F.col("is_q"))
+    tf = (
+        idx.select("doc_id", F.size("ws").cast("bigint").alias("dl"), F.explode("ws").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = idx.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("ws").cast("bigint")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    qsel = (
+        lw.filter(F.col("is_q") & (F.col("doc_id") % 25 == 0))
+        .select(F.col("doc_id").alias("query_id"), F.explode(F.array_distinct("ws")).alias("term"))
+        .join(F.broadcast(df_t), "term")
+        .withColumn("trn", F.row_number().over(wt))
+        .filter(F.col("trn") <= _RARE_TERMS_PER_QUERY)
+        .select("query_id", "term", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    sat = (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        tf.join(F.broadcast(qsel), "term")
+        .join(F.broadcast(stats), F.lit(True))
+        .select("query_id", "doc_id", F.round(idf * sat, 6).cast("decimal(14,6)").alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("double").alias("score"))
+        .withColumn("lrnk", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("lrnk") <= 3)
+        .select("query_id", "doc_id", "lrnk")
+    )
+
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("drnk")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lrnk")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    result = (
+        dense.join(lex, ["query_id", "doc_id"], "full")
+        .select("query_id", "doc_id", rrf.alias("rrf"))
+        .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "rnk", "doc_id", F.round("rrf", 9).alias("rrf_score"))
+        .orderBy("query_id", "rnk")
+    )
+    result._cached_deps = [lw]  # library callers: unpersist when done
     return result
