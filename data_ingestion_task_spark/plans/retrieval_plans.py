@@ -1,8 +1,9 @@
 """Sparse lexical retrieval (BM25) over the ``documents`` table.
 
 The reference retrieves context for its RAG pipelines with dense
-vectors only (``code/python/rag_implementation.py`` and its ~14
-variants feed FAISS top-k into the prompt); production retrieval
+vectors only (``code/python/rag_3_3.py:263-271`` ``retrieve()`` feeds
+vector-store top-k into the prompt; ~14 sibling ``rag_*`` scripts
+repeat the pattern); production retrieval
 stacks pair that with a sparse BM25 arm and fuse the two. This module
 is the sparse arm, expressed as pure DataFrame algebra — the dense
 arm is ``plans/vector_plans.py`` / ``refine_plans.rag_context_assembly``.
@@ -97,7 +98,7 @@ _D_QUERY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERY_TERMS)
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-3 documents for each of three keyword queries — the
     sparse-retrieval twin of ``rag_context_assembly``'s dense top-k
-    (reference: rag_implementation.py's FAISS retrieve step).
+    (reference: rag_3_3.py:263-271's dense-only retrieve step).
 
     Plan: one tokenization pass reduces each doc to a persisted
     (doc_id, dl, query-term tokens) narrow frame (the regex scan is
