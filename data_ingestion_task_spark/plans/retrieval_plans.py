@@ -24,7 +24,7 @@ back to DOUBLE at the output edge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -50,11 +50,25 @@ _QUERY_TERMS: list[tuple[int, str]] = [
 ]
 
 # Same casefold/strip/split normalization as term_doc_frequency — the
-# proven cross-engine tokenizer.
-_D_WORDS = (
+# proven cross-engine tokenizer. (Named _D_RETRIEVAL_WORDS, not
+# _D_WORDS, because text_plans._D_WORDS is a DIFFERENT,
+# whitespace-only tokenizer; hoisting the shared spec into a leaf
+# module next to _vector_shared is queued for a round when the
+# text_plans family is uncertified anyway.)
+_D_RETRIEVAL_WORDS = (
     "list_filter(str_split(regexp_replace(regexp_replace(lower(trim(text)), "
     "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
 )
+
+
+def _spark_tokens() -> Column:
+    """The Spark twin of _D_RETRIEVAL_WORDS over the ``text`` column —
+    defined once so the two retrieval queries cannot drift apart."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.filter(F.split(norm, " "), lambda w: w != "")
+
 
 _D_QUERY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERY_TERMS)
 
@@ -63,7 +77,7 @@ _D_QUERY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERY_TERMS)
     "bm25_retrieval",
     oracle=f"""
     WITH words AS (
-      SELECT doc_id, {_D_WORDS} AS ws FROM documents
+      SELECT doc_id, {_D_RETRIEVAL_WORDS} AS ws FROM documents
     ), tok AS (
       SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM words
     ), tf AS (
@@ -109,10 +123,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL sum of 6-dp-rounded per-term scores (order-independent,
     the repo's float-parity idiom) → per-query top-3 window."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
-    )
-    ws = F.filter(F.split(norm, " "), lambda w: w != "")
+    ws = _spark_tokens()
     # One tokenization pass over the corpus: the regex normalization is
     # the linear cost term (measured ~2.7s of the ~13s sf1 total, and
     # it ran TWICE — once for corpus stats, once for tf). Reduce each
@@ -180,7 +191,7 @@ _RARE_TERMS_PER_QUERY = 5
     oracle=_D_SPLIT
     + f"""
     , lw AS (
-      SELECT doc_id, doc_id % 5 = 0 AS is_q, {_D_WORDS} AS ws FROM documents
+      SELECT doc_id, doc_id % 5 = 0 AS is_q, {_D_RETRIEVAL_WORDS} AS ws FROM documents
     ), ltf AS (
       SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
         SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM lw WHERE NOT is_q
@@ -234,11 +245,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid query-by-example retrieval: for every query document
     (doc_id % 5 == 0, the same split the dense plans use), fuse a
     dense arm (cosine top-3 over the per-doc embeddings — exactly
-    ``knn_cosine_topk``'s semantics) with a lexical arm (BM25 top-3
-    where the query is the query doc's {_RARE_TERMS_PER_QUERY}
-    RAREST index-corpus terms) via reciprocal-rank fusion
-    (1/(k+rank), k={_RRF_K}) — the standard production pairing the
-    reference's dense-only RAG scripts lack.
+    ``knn_cosine_topk``'s semantics, pinned exact for oracle parity;
+    at production index sizes route through the size-banded
+    ``operators.knn.knn_topk`` facade instead) with a lexical arm
+    (BM25 top-3 where the query is the query doc's 5 RAREST
+    index-corpus terms) via reciprocal-rank fusion (1/(k+rank),
+    k=60) — the standard production pairing the reference's
+    dense-only RAG scripts lack.
 
     The registered demo scores a 1-in-5 sample of the query split
     (doc_id % 25 == 0, the ``ann_recall_audit`` sampling precedent):
@@ -248,12 +261,20 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~all-pairs × terms.
 
     Query reduction (keep only the lowest-df terms, ties by term) is
-    what bounds the lexical arm at scale: the postings join touches
-    ≤{_RARE_TERMS_PER_QUERY} terms per query and candidate volume is
-    df-bounded, the same reason WAND-style engines prune by idf. One
-    tokenization pass feeds tf/df/stats/query-term branches from a
-    persisted narrow frame; both arms end in per-query partitioned
-    top-k windows, and the fusion is a keyed full-outer join of two
+    what bounds the lexical arm's CANDIDATES at scale: the postings
+    join touches ≤5 terms per query and candidate volume is
+    df-bounded, the same reason WAND-style engines prune by idf. The
+    broadcast query-term table is (n_queries × 5) rows — bounded by
+    the QUERY BATCH, not the corpus: retrieval serves bounded batches
+    by construction, and broadcasting it is what keeps the
+    corpus-sized postings table from shuffling on `term` (measured
+    3.8× slower at 10× data without the hint — AQE's late conversion
+    still pays the postings shuffle write). For an unbounded offline
+    query sweep, batch the queries. One tokenization pass feeds
+    tf/df/stats/query-term branches from a persisted narrow frame
+    (never-read rows — unsampled query docs — dropped before the
+    persist); both arms end in per-query partitioned top-k windows,
+    and the fusion is a keyed full-outer join of two
     ≤3-row-per-query frames."""
     from ..operators.knn import knn_join_exact
     from ._vector_shared import _split
@@ -270,28 +291,31 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Lexical arm: one tokenization pass shared by all four branches.
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
+    ws = _spark_tokens()
+    lw = (
+        d.filter((F.col("doc_id") % 5 != 0) | (F.col("doc_id") % 25 == 0))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 5 == 0).alias("is_q"),
+            F.size(ws).cast("bigint").alias("dl"),
+            ws.alias("ws"),
+        )
+        .persist()
     )
-    lw = d.select(
-        "doc_id",
-        (F.col("doc_id") % 5 == 0).alias("is_q"),
-        F.filter(F.split(norm, " "), lambda w: w != "").alias("ws"),
-    ).persist()
     idx = lw.filter(~F.col("is_q"))
     tf = (
-        idx.select("doc_id", F.size("ws").cast("bigint").alias("dl"), F.explode("ws").alias("term"))
+        idx.select("doc_id", "dl", F.explode("ws").alias("term"))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = idx.agg(
         F.count("*").alias("n_docs"),
-        (F.sum(F.size("ws").cast("bigint")).cast("double") / F.count("*")).alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     wt = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
     qsel = (
-        lw.filter(F.col("is_q") & (F.col("doc_id") % 25 == 0))
+        lw.filter(F.col("is_q"))
         .select(F.col("doc_id").alias("query_id"), F.explode(F.array_distinct("ws")).alias("term"))
         .join(F.broadcast(df_t), "term")
         .withColumn("trn", F.row_number().over(wt))
