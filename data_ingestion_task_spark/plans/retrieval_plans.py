@@ -5,17 +5,20 @@ vectors only (``code/python/rag_3_3.py:263-271`` ``retrieve()`` feeds
 vector-store top-k into the prompt; ~14 sibling ``rag_*`` scripts
 repeat the pattern); production retrieval
 stacks pair that with a sparse BM25 arm and fuse the two. This module
-is the sparse arm, expressed as pure DataFrame algebra — the dense
-arm is ``plans/vector_plans.py`` / ``refine_plans.rag_context_assembly``.
+is the sparse arm (``bm25_retrieval``) and the fusion
+(``hybrid_rrf_retrieval``), expressed as pure DataFrame algebra — the
+dense arm is ``plans/vector_plans.py`` /
+``refine_plans.rag_context_assembly``.
 
 Scale shape (100 TB corpus): tokenization and per-doc term frequency
 are one explode + one (doc_id, term) hash-agg — the same shuffle
 budget as the wordcount in ``text_plans.term_doc_frequency``. The
-query set, document-frequency table, and corpus stats are all tiny
-(vocab-bounded) and broadcast; scoring touches only postings of query
-terms (the broadcast join prunes everything else map-side), and the
-final top-k windows are partitioned per query. Nothing all-pairs,
-nothing driver-side.
+document-frequency table and corpus stats are vocab-bounded and the
+query-term table batch-bounded, all broadcast; scoring touches only
+postings of query terms (the broadcast join prunes everything else
+map-side), and the final top-k windows are partitioned per query.
+Nothing all-pairs, and the only driver-side state is the broadcast
+of those bounded tables.
 
 Cross-engine float parity uses the repo idiom: per-term scores are
 rounded to 6 dp and summed as DECIMAL (order-independent), then cast
