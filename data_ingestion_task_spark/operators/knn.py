@@ -283,7 +283,17 @@ def knn_topk(
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows,
         )
-    elif pq_overscan is not None and n <= max_index_rows * 32 and dim % 8 == 0:
+    elif (
+        pq_overscan is not None
+        and n <= max_index_rows * 32
+        and dim % 8 == 0
+        # The band's smallest codebook is 16 codes/subspace; PQ
+        # training raises on a sample smaller than its codebook, so a
+        # sub-16-row index (reachable only with a custom
+        # max_index_rows ≤ 14) must fall through to LSH instead of
+        # crashing where the pre-PQ facade succeeded.
+        and n >= 16
+    ):
         # dim must split into the default m=8 subspaces; otherwise the
         # band is skipped and the facade falls through to LSH exactly
         # as it did before the band existed
@@ -362,9 +372,13 @@ def train_ivf_codebook(
     (centroid, dim)-ary hash-agg — both linear in the training set.
     Run on a SAMPLE with ``nlist ≈ √N`` seeds in production; each
     round's codebook is materialized by the next round's broadcast, so
-    every stage executes once. (The registered ``ivf_kmeans_refine``
-    query carries its own DECIMAL-quantized twin of this loop for
-    bit-exact DuckDB parity; this operator keeps plain double math.)"""
+    every stage executes once. Centroid component sums go through
+    round-9dp → DECIMAL(12,9) (the same quantization as the registered
+    ``ivf_kmeans_refine`` twin), so the trained codebook is
+    bit-reproducible across partitionings/cluster sizes — plain double
+    sums in a hash aggregate are order-dependent in the last ulp,
+    which would make "train once, reuse everywhere" silently
+    layout-sensitive."""
     xn = normalize_embeddings(index_df, vec_col).select(
         F.col(index_id).alias("_id"), F.col(vec_col).alias("_xv")
     )
@@ -376,12 +390,18 @@ def train_ivf_codebook(
         means = (
             assigned.select("centroid_id", F.posexplode("_xv").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .agg(
+                F.sum(F.round(F.col("val"), 9).cast("decimal(12,9)")).alias("s"),
+                F.count("*").alias("c"),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
                     F.collect_list(
-                        F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                        F.struct(
+                            "pos",
+                            (F.col("s").cast("double") / F.col("c")).alias("m"),
+                        )
                     )
                 ).alias("_pm")
             )

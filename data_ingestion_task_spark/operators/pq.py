@@ -71,6 +71,11 @@ def train_pq_codebooks(
         .select(index_id, vec_col)
         .collect()
     )
+    if not sample:
+        # An empty matrix has no second shape axis, so the unpack
+        # below would raise an unrelated-looking error; name the
+        # actual problem instead.
+        raise ValueError(f"sample of 0 rows < n_codes={n_codes}")
     mat = np.array([list(r[1]) for r in sample], dtype=np.float64)
     n, dim = mat.shape
     if dim % m != 0:
@@ -193,6 +198,16 @@ def knn_join_pq(
     total = sum(r["n"] for r in blobs)
     if total > max_index_rows:
         raise BroadcastIndexTooLarge(total, max_index_rows)
+    if total == 0:
+        # Caller-supplied codebooks + an empty index would reach ADC's
+        # argpartition on a zero-row code matrix (cryptic executor-side
+        # numpy error). An empty index legitimately has zero
+        # neighbors: return the empty result with the standard
+        # (query_id, neighbor_id, sim, rank) schema.
+        spark = query_df.sparkSession
+        return spark.createDataFrame(
+            [], f"{query_id} long, {index_id} long, sim double, rank bigint"
+        )
     ids = np.frombuffer(b"".join(r["ids"] for r in blobs), dtype=np.int64)
     codes = np.frombuffer(b"".join(r["codes"] for r in blobs), dtype=np.uint8).reshape(
         -1, m

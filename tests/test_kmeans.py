@@ -92,3 +92,27 @@ def test_trained_codebook_plugs_into_ivf_search(spark, sf_dir):
     assert (pdf.groupby("query_id")["rank"].min() == 1).all()
     residue = knn_join_ivf(x, q, k=3, centroid_mod=25, n_probe=2)
     assert recall(trained) >= recall(residue) - 0.05
+
+
+def test_train_ivf_codebook_partitioning_invariant(spark, sf_dir):
+    """Centroid sums are DECIMAL-quantized (ADVICE r4 #5): the trained
+    codebook must be bit-identical regardless of how the training set
+    is partitioned — plain double hash-agg sums would drift in the
+    last ulp with partition layout."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark.operators.knn import train_ivf_codebook
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    a = (
+        train_ivf_codebook(x.repartition(1), seed_mod=25, rounds=2)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    b = (
+        train_ivf_codebook(x.repartition(13), seed_mod=25, rounds=2)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    assert a == b

