@@ -155,7 +155,14 @@ def extract_documents(
 def release(df: DataFrame) -> None:
     """Unpersist the cached intermediates a facade result references
     (no-op for results without any). Call after collecting when the
-    session lives on."""
+    session lives on.
+
+    Release is TERMINAL for the result: since ``ReleaseHandle`` made
+    deps-release real for localCheckpoint()ed frames (it drops the
+    truncated lineage's only materialization), any further action on
+    ``df`` after ``release(df)`` may raise — previously the no-op
+    unpersist left such results accidentally reusable. Collect first,
+    release last."""
     for dep in getattr(df, "_cached_deps", []):
         dep.unpersist()
 

@@ -20,7 +20,14 @@ class ReleaseHandle:
     callers) releases deps by calling ``dep.unpersist()`` — a no-op on
     a localCheckpoint()ed DataFrame — so iterative plans wrap their
     loop survivors in this handle instead of handing out the raw
-    frame."""
+    frame.
+
+    Contract change vs the pre-handle behavior (ADVICE r5 #5): this
+    release is REAL, so a result whose checkpointed dep was released
+    cannot be recomputed — further actions on it raise. Callers must
+    collect before releasing (the documented ``api.release``
+    contract); the old no-op unpersist merely made violations
+    accidentally survivable."""
 
     def __init__(self, df: DataFrame):
         self.df = df

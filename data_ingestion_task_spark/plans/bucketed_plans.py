@@ -14,6 +14,8 @@ in tests/test_plan_properties.py::test_bucketed_query_plans_zero_hash_exchanges.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,8 +25,19 @@ from ..sources.tables import load_table
 from .registry import query
 
 _N_BUCKETS = 16
-_DOCS_TABLE = "b5_docs"
-_CHUNKS_TABLE = "b5_doc_chunks"
+
+
+def _table_names(sf_dir: str) -> tuple[str, str]:
+    """Per-``sf_dir`` managed-table names. The returned frame is lazy
+    over ``spark.table()``, so fixed global names would let a later
+    construction for a DIFFERENT sf_dir overwrite the tables a
+    not-yet-executed earlier frame still points at (ADVICE r5 #1);
+    deriving the suffix from the data directory pins each frame to the
+    data written for its own sf_dir. (Two sessions sharing a warehouse
+    AND an sf_dir still race on the overwrite — same data, so the
+    result is unchanged; don't run the demo write concurrently.)"""
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"b5_docs_{tag}", f"b5_doc_chunks_{tag}"
 
 _D_WORDS = "str_split_regex(trim(text), '\\s+')"
 
@@ -65,6 +78,7 @@ def bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query stays deterministic; in production the write runs once per
     ingest and the exchange-free reads amortize it across every
     downstream query."""
+    docs_table, chunks_table = _table_names(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     chunks = T.explode_chunks(
         d, text_col="text", id_cols=["doc_id"], chunk_size=64, overlap=16
@@ -75,16 +89,16 @@ def bucketed_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_bucketed(
         d.select("doc_id", "lang", "source"),
-        _DOCS_TABLE,
+        docs_table,
         "doc_id",
         n_buckets=_N_BUCKETS,
         sort_col="doc_id",
     )
     write_bucketed(
-        chunks, _CHUNKS_TABLE, "doc_id", n_buckets=_N_BUCKETS, sort_col="doc_id"
+        chunks, chunks_table, "doc_id", n_buckets=_N_BUCKETS, sort_col="doc_id"
     )
-    docs_b = read_table(spark, _DOCS_TABLE)
-    chunks_b = read_table(spark, _CHUNKS_TABLE)
+    docs_b = read_table(spark, docs_table)
+    chunks_b = read_table(spark, chunks_table)
     return (
         chunks_b.join(docs_b, "doc_id")
         .groupBy("doc_id", "lang", "source")

@@ -286,7 +286,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_D_SPLIT
     + """
     , cmod AS (
-      SELECT GREATEST(25, COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS m FROM x
+      -- exact integer sqrt: correct the float-sqrt candidate by +/-1
+      -- (its only possible error for BIGINT n), so this matches
+      -- Python isqrt for ALL n, not just below the ~2^52 double
+      -- precision bound (ADVICE r5 #4)
+      SELECT GREATEST(25, n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1
+                                          WHEN s0*s0 > n THEN -1
+                                          ELSE 0 END)) AS m
+      FROM (SELECT COUNT(*) AS n,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+            FROM x)
     ), cent AS (
       SELECT neighbor_id AS centroid_id, v AS cv FROM x
       WHERE neighbor_id % (SELECT m FROM cmod) = 1

@@ -18,6 +18,8 @@ the joined plan) rather than a timing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -38,13 +40,29 @@ def write_bucketed(
     left by a previous session is invisible to this session's
     in-memory catalog, and ``saveAsTable`` refuses to adopt the
     location (LOCATION_ALREADY_EXISTS) — so stale state is dropped
-    from both catalog and filesystem first."""
+    from both catalog and filesystem first. That cleanup derives the
+    location as ``<warehouse>/<name>`` — correct only for UNQUALIFIED
+    names (``db.tbl`` lives at ``<warehouse>/<db>.db/<tbl>``), so
+    qualified or non-identifier names are rejected up front rather
+    than recursively deleting a wrong path (ADVICE r5 #2)."""
     if mode == "overwrite":
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise ValueError(
+                f"write_bucketed overwrite supports only unqualified "
+                f"identifier table names, got {table!r}: the stale-location "
+                f"cleanup resolves <warehouse>/<name>, which is wrong for "
+                f"db-qualified names and unsafe for arbitrary strings"
+            )
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = spark.conf.get("spark.sql.warehouse.dir")
         jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        # Path(parent, child) keeps the delete target pinned under the
+        # warehouse dir; the identifier check above rules out
+        # separators/'..' in the child.
+        p = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(wh), table.lower()
+        )
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)

@@ -50,7 +50,7 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Iterable
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -281,7 +281,7 @@ class KeyedParquetStore:
             )
         return self.spark.read.parquet(self.root)
 
-    def lookup(self, keys: Sequence[Any]) -> DataFrame:
+    def lookup(self, keys: Iterable[Any]) -> DataFrame:
         """Point lookups: compute the keys' buckets, read ONLY those
         directories, filter to the keys. Keys are cast to the dtype
         pinned at first merge so Python-literal type inference cannot
@@ -293,7 +293,12 @@ class KeyedParquetStore:
         rows, so this is short-circuited to a pruned-to-nothing
         read)."""
         self._repair()
-        if not list(keys):
+        # Normalize once: a one-shot iterable (generator) would be
+        # consumed by the emptiness guard and then silently yield zero
+        # rows downstream (ADVICE r5 #3) — everything below reuses
+        # this list.
+        keys = list(keys)
+        if not keys:
             return self.read().limit(0).drop("bucket")
         key_col = F.col(self.key)
         if self._key_type is not None:
@@ -310,9 +315,7 @@ class KeyedParquetStore:
         dirs = [self._bucket_dir(n) for n in hit if n in present]
         if not dirs:
             return self.read().limit(0).drop("bucket")
-        return (
-            self.spark.read.parquet(*dirs).filter(F.col(self.key).isin(list(keys)))
-        )
+        return self.spark.read.parquet(*dirs).filter(F.col(self.key).isin(keys))
 
     def foreach_batch_merger(
         self,

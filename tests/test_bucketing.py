@@ -59,3 +59,33 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_pair):
     a = read_table(spark, t1)
     agg = a.groupBy("doc_id").agg(F.sum("n_chars").alias("c"))
     assert not plan_has_shuffle(agg)
+
+
+def test_write_bucketed_rejects_qualified_names(spark, sf_dir):
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(docs, "somedb.tbl", "doc_id", n_buckets=4)
+
+
+def test_bucketed_doc_join_frames_pinned_to_sf_dir(spark):
+    """Constructing the query for a SECOND sf_dir must not redirect an
+    earlier, not-yet-executed frame to the second dataset's rows
+    (ADVICE r5 #1): table names are derived per sf_dir."""
+    from data_ingestion_task_spark.plans.bucketed_plans import bucketed_doc_join
+
+    small = "/root/testdata/sf0.001"
+    big = "/root/testdata/sf0.01"
+    def words(frame):
+        return frame.agg(F.sum("total_chunk_words")).collect()[0][0]
+
+    f_small = bucketed_doc_join(spark, small)
+    f_big = bucketed_doc_join(spark, big)  # constructed BEFORE f_small runs
+    w_small = words(f_small)
+    w_big = words(f_big)
+    # both testdata dirs hold 500 docs with DIFFERENT text, so the
+    # chunk-word total discriminates which dataset a frame read
+    assert w_small == words(bucketed_doc_join(spark, small))
+    assert w_big == words(bucketed_doc_join(spark, big))
+    assert w_small != w_big

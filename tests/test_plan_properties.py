@@ -260,27 +260,37 @@ def test_lsh_topk_ranks_without_window(plans):
 
 def test_ivf_cent_mod_matches_duckdb_formula():
     # ann_ivf_topk derives cent_mod = max(25, n // isqrt(n)) on the
-    # driver; its oracle re-derives it in SQL as
-    # GREATEST(25, n // CAST(FLOOR(SQRT(n)) AS BIGINT)). The two must
-    # agree for every plausible index cardinality or the certified
-    # parity silently depends on n — sweep the boundary-heavy range
-    # (perfect squares +/-1, where float sqrt could round across the
-    # integer) and a log sweep up to 10^9.
+    # driver; its oracle re-derives it in SQL with an EXACT integer
+    # sqrt (float-sqrt candidate corrected by +/-1 — its only possible
+    # error for BIGINT n). The two must agree for EVERY index
+    # cardinality or the certified parity silently depends on n —
+    # sweep perfect squares +/-1 (small AND past the ~2^52 double
+    # precision bound, where plain FLOOR(SQRT(n)) diverges from
+    # isqrt), plus a log sweep to 2^62 (ADVICE r5 #4).
     import duckdb
     from math import isqrt
 
     ns = set()
     for k in range(1, 2000):
         ns.update((k * k - 1, k * k, k * k + 1))
+    # boundary region of double precision: k near isqrt(2^53) and the
+    # largest k whose square fits BIGINT headroom for (k+1)^2
+    for k in (2**26, 2**26 + 1, 94906265, 94906266, 2**31 - 2, 10**9 + 7):
+        ns.update((k * k - 1, k * k, k * k + 1))
     n = 1
-    while n <= 10**9:
+    while n <= 2**62:
         ns.update((n, n + 7))
         n *= 3
     ns = sorted(x for x in ns if x >= 1)
     con = duckdb.connect()
+    idiom = (
+        "n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1 "
+        "WHEN s0*s0 > n THEN -1 ELSE 0 END)"
+    )
     rows = con.execute(
-        "SELECT n, GREATEST(25, n // CAST(FLOOR(SQRT(n)) AS BIGINT)) "
-        "FROM (SELECT UNNEST(?::BIGINT[]) AS n)",
+        f"SELECT n, GREATEST(25, {idiom}) FROM ("
+        "SELECT n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0 "
+        "FROM (SELECT UNNEST(?::BIGINT[]) AS n))",
         [ns],
     ).fetchall()
     for n, duck_mod in rows:

@@ -196,3 +196,12 @@ def test_lookup_repairs_parked_bucket(spark, tmp_path):
     live = os.path.join(st.root, "bucket=0")
     os.rename(live, live + OLD_SUFFIX)
     assert _rows(st.lookup([1])) == [(1, "a")]  # repair ran inside lookup()
+
+
+def test_lookup_accepts_generator_keys(spark, tmp_path):
+    # ADVICE r5: the emptiness guard consumed one-shot iterables, so a
+    # generator argument passed the guard exhausted and returned zero
+    # rows; keys are now normalized to a list once up front
+    st = _mk(spark, tmp_path, n_buckets=8)
+    st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert _rows(st.lookup(k for k in (1, 3))) == [(1, "a"), (3, "c")]
