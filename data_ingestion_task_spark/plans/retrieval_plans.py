@@ -27,10 +27,11 @@ back to DOUBLE at the output edge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._text_shared import D_NORM_WORDS, spark_norm_words
 from ._vector_shared import _D_SPLIT
 from .registry import query
 
@@ -53,24 +54,12 @@ _QUERY_TERMS: list[tuple[int, str]] = [
 ]
 
 # Same casefold/strip/split normalization as term_doc_frequency — the
-# proven cross-engine tokenizer. (Named _D_RETRIEVAL_WORDS, not
-# _D_WORDS, because text_plans._D_WORDS is a DIFFERENT,
-# whitespace-only tokenizer; hoisting the shared spec into a leaf
-# module next to _vector_shared is queued for a round when the
-# text_plans family is uncertified anyway.)
-_D_RETRIEVAL_WORDS = (
-    "list_filter(str_split(regexp_replace(regexp_replace(lower(trim(text)), "
-    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
-)
-
-
-def _spark_tokens() -> Column:
-    """The Spark twin of _D_RETRIEVAL_WORDS over the ``text`` column —
-    defined once so the two retrieval queries cannot drift apart."""
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
-    )
-    return F.filter(F.split(norm, " "), lambda w: w != "")
+# proven cross-engine tokenizer, hoisted to the _text_shared leaf
+# module (r5 queue item 4) so the retrieval and text families share
+# ONE definition. (text_plans._D_WORDS remains a DIFFERENT,
+# whitespace-only tokenizer.)
+_D_RETRIEVAL_WORDS = D_NORM_WORDS
+_spark_tokens = spark_norm_words
 
 
 _D_QUERY_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERY_TERMS)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..sources.tables import load_table
+from ._text_shared import D_NORM_WORDS, spark_norm_words
 from .registry import query
 
 # DuckDB twins of the text expression library (kept in one place so
@@ -231,10 +232,9 @@ _STOPWORDS = [
     "der", "die", "und", "le", "la", "les", "el", "los",
 ]
 
-_D_NORM_WORDS = (
-    "list_filter(str_split(regexp_replace(regexp_replace(lower(trim(text)), "
-    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), ' '), w -> w <> '')"
-)
+# Shared cross-engine tokenizer (hoisted to _text_shared in r6 —
+# retrieval_plans uses the same definition).
+_D_NORM_WORDS = D_NORM_WORDS
 
 
 @query(
@@ -259,10 +259,7 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the narrow map (array_distinct) BEFORE the explode, so the shuffle
     carries each (doc, term) once."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[^a-z0-9\s]", ""), r"\s+", " "
-    )
-    toks = F.array_distinct(F.filter(F.split(norm, " "), lambda w: w != ""))
+    toks = F.array_distinct(spark_norm_words())
     return (
         d.select("doc_id", F.explode(toks).alias("term"))
         .filter(~F.col("term").isin(_STOPWORDS))
