@@ -199,15 +199,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(
+            spark: SparkSession, sf_dir: str, *args, **kwargs
+        ) -> DataFrame:
             # Deterministic semantics regardless of the caller's
             # session defaults: UTC timestamps; non-ANSI (try_* style)
             # null-on-error casts like the oracle's. Left pinned after
             # return — see PINNED_CONF for why, and pinned_conf() for
-            # callers needing isolation.
+            # callers needing isolation. Extra args pass through for
+            # queries exposing library-call knobs (e.g. the recall
+            # audits' sample_mod); the driver always calls with the
+            # two-arg form, whose defaults the oracle pins.
             for k, v in PINNED_CONF.items():
                 spark.conf.set(k, v)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         REGISTRY[name] = QuerySpec(
             name=name,

@@ -263,10 +263,12 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     3.8× slower at 10× data without the hint — AQE's late conversion
     still pays the postings shuffle write). For an unbounded offline
     query sweep, batch the queries. One tokenization pass feeds
-    tf/df/stats/query-term branches from a persisted narrow frame
-    (never-read rows — unsampled query docs — dropped before the
-    persist); both arms end in per-query partitioned top-k windows,
-    and the fusion is a keyed full-outer join of two
+    tf/df/stats/query-term branches from a persisted frame reduced to
+    TERM-COUNT grain — (doc_id, is_q, dl, term, tf), never raw token
+    arrays, so the cache is vocabulary-occurrence-sized rather than
+    token-volume-sized (and never-read rows — unsampled query docs —
+    are dropped before it); both arms end in per-query partitioned
+    top-k windows, and the fusion is a keyed full-outer join of two
     ≤3-row-per-query frames."""
     from ..operators.knn import knn_join_exact
     from ._vector_shared import _split
@@ -281,34 +283,53 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("drnk"))
     )
 
-    # Lexical arm: one tokenization pass shared by all four branches.
+    # Lexical arm: one tokenization pass shared by all four branches,
+    # reduced to TERM-COUNT grain before the persist (VERDICT r5 watch
+    # item): the cached frame carries one (doc_id, term, tf) row per
+    # distinct doc-term — term-count-sized — instead of every index
+    # doc's full token array (token-volume-sized, a guaranteed spill
+    # at 100 TB). explode_outer keeps an empty doc as one NULL-term
+    # row so corpus stats still count it.
     d = load_table(spark, sf_dir, "documents")
     ws = _spark_tokens()
+    # The token array MUST be materialized in its own projection below
+    # the explode: putting size(ws)/explode(ws) with the raw tokenizer
+    # expression in ONE select puts the Project ABOVE the Generate, so
+    # the regex tokenizer re-evaluates per exploded TOKEN row instead
+    # of per doc — measured 142s vs 6s for this frame at sf1.
+    base = d.filter((F.col("doc_id") % 5 != 0) | (F.col("doc_id") % 25 == 0)).select(
+        "doc_id", (F.col("doc_id") % 5 == 0).alias("is_q"), ws.alias("ws")
+    )
     lw = (
-        d.filter((F.col("doc_id") % 5 != 0) | (F.col("doc_id") % 25 == 0))
-        .select(
+        base.select(
             "doc_id",
-            (F.col("doc_id") % 5 == 0).alias("is_q"),
-            F.size(ws).cast("bigint").alias("dl"),
-            ws.alias("ws"),
+            "is_q",
+            F.size("ws").cast("bigint").alias("dl"),
+            F.explode_outer("ws").alias("term"),
         )
+        .groupBy("doc_id", "is_q", "dl", "term")
+        .agg(F.count("*").alias("tf"))
         .persist()
     )
-    idx = lw.filter(~F.col("is_q"))
-    tf = (
-        idx.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .groupBy("doc_id", "term", "dl")
-        .agg(F.count("*").alias("tf"))
+    tf = lw.filter(~F.col("is_q") & F.col("term").isNotNull()).select(
+        "doc_id", "term", "dl", "tf"
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = idx.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    stats = (
+        lw.filter(~F.col("is_q"))
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
     )
     wt = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+    # the persisted grain is already distinct per (doc, term), so the
+    # query docs' rows ARE their distinct-term lists
     qsel = (
-        lw.filter(F.col("is_q"))
-        .select(F.col("doc_id").alias("query_id"), F.explode(F.array_distinct("ws")).alias("term"))
+        lw.filter(F.col("is_q") & F.col("term").isNotNull())
+        .select(F.col("doc_id").alias("query_id"), "term")
         .join(F.broadcast(df_t), "term")
         .withColumn("trn", F.row_number().over(wt))
         .filter(F.col("trn") <= _RARE_TERMS_PER_QUERY)

@@ -359,6 +359,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_BITS = (2, 4)
 _RECALL_K = 3
+#: The audits' exact-baseline cost knob, now IN the signature (VERDICT
+#: r5 task 4): the brute-force baseline scores 1-in-`sample_mod`
+#: queries, so audit cost scales ~1/sample_mod while the recall
+#: estimate's stderr grows ~sqrt(sample_mod). The registered queries
+#: and their oracles pin the default; library callers pass sample_mod
+#: to trade precision for cost (oracle parity is defined at the
+#: default only). Sensitivity measured at sf1 in SCALE.md §0.
+_RECALL_SAMPLE_MOD = 50
 
 
 def _d_recall_branch(bits: int) -> str:
@@ -404,7 +412,9 @@ def _d_recall_branch(bits: int) -> str:
     ORDER BY n_bits
     """,
 )
-def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_audit(
+    spark: SparkSession, sf_dir: str, *, sample_mod: int = _RECALL_SAMPLE_MOD
+) -> DataFrame:
     """Recall/cost audit of the approximate path — the measurement that
     turns 'recall is tunable via n_bits' (ann_lsh_topk docstring) into
     a number: for each LSH width, recall@{_RECALL_K} of the bucketed
@@ -434,7 +444,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact pass is exactly the cost ANN exists to avoid. (r3 shipped
     # 1-in-25 with a docstring claiming 1-in-5; both fixed per VERDICT,
     # and the sample halved to cap the audit's bench cost.)
-    q = q.filter(F.col("query_id") % 50 == 0)
+    q = q.filter(F.col("query_id") % sample_mod == 0)
     # Persist the shared exact pass: both LSH branches join against it
     # (two count() actions each) — unpersisted, the full brute-force
     # plan would re-execute per action.
@@ -653,7 +663,9 @@ def _d_ivf_branch(p: int) -> str:
     ORDER BY n_probe
     """,
 )
-def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_recall_audit(
+    spark: SparkSession, sf_dir: str, *, sample_mod: int = _RECALL_SAMPLE_MOD
+) -> DataFrame:
     """The (nlist, nprobe) tuning table for the IVF path — the exact
     counterpart of :func:`ann_recall_audit` for :func:`knn_join_ivf`:
     for each n_probe, recall@{_RECALL_K} against the exact broadcast
@@ -671,7 +683,7 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     q, x = _split(spark, sf_dir)
-    q = q.filter(F.col("query_id") % 50 == 0)
+    q = q.filter(F.col("query_id") % sample_mod == 0)
     exact = (
         knn_join_exact(
             x.select("neighbor_id", "embedding"),

@@ -32,45 +32,59 @@ from pyspark.sql import DataFrame, SparkSession
 EXCEL_ROW_LIMIT = 1_000_000  # guard: Excel is a small-result format
 
 
-def _require_excel_engine() -> str:
+def _excel_engine() -> str | None:
+    """Installed pandas Excel engine name, or None (→ stdlib codec)."""
     for eng in ("openpyxl", "xlsxwriter"):
         if importlib.util.find_spec(eng) is not None:
             return eng
-    raise ImportError(
-        "no Excel engine installed (openpyxl/xlsxwriter); Excel IO is a "
-        "driver-side convenience for small result sets — install an engine "
-        "or use parquet/CSV sinks"
-    )
+    return None
 
 
 def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
     """``to_excel('extraction_validation_results.xlsx')``
     (ext_3_4.py:35): collect a SMALL result DataFrame to the driver and
     write one xlsx sheet. Returns the row count. Refuses more than
-    ``EXCEL_ROW_LIMIT`` rows — big data belongs in parquet."""
-    _require_excel_engine()
+    ``EXCEL_ROW_LIMIT`` rows — big data belongs in parquet.
+
+    With openpyxl/xlsxwriter installed, pandas writes the file (full
+    dtype support); otherwise the pure-stdlib OOXML codec
+    (:mod:`.xlsx_lite`) writes str/number/bool/None cells — enough for
+    every result table the engine emits."""
     n = df.limit(EXCEL_ROW_LIMIT + 1).count()
     if n > EXCEL_ROW_LIMIT:
         raise ValueError(
             f"write_excel got >{EXCEL_ROW_LIMIT} rows; Excel is for small "
             "result sets — write parquet instead"
         )
-    pdf = df.toPandas()
-    pdf.to_excel(path, sheet_name=sheet_name, index=False)
-    return len(pdf)
+    if _excel_engine() is not None:
+        pdf = df.toPandas()
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+        return len(pdf)
+    from .xlsx_lite import write_xlsx
+
+    rows = [[row[c] for c in df.columns] for row in df.collect()]
+    write_xlsx(path, df.columns, rows, sheet_name=sheet_name)
+    return len(rows)
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
     """``pd.read_excel("predictions.xlsx")`` (post_pro_9_8.py:116,
     remove_paranthesis.py:4) → Spark DataFrame via the driver. Column
     names get the reference's hygiene pass (strip + lower —
-    remove_paranthesis.py:30)."""
-    _require_excel_engine()
-    import pandas as pd
+    remove_paranthesis.py:30). Engine-less runtimes fall back to the
+    stdlib codec, which also reads shared-string files written by real
+    engines."""
+    if _excel_engine() is not None:
+        import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
-    pdf.columns = [str(c).strip().lower() for c in pdf.columns]
-    return spark.createDataFrame(pdf)
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+        pdf.columns = [str(c).strip().lower() for c in pdf.columns]
+        return spark.createDataFrame(pdf)
+    from .xlsx_lite import read_xlsx
+
+    header, rows = read_xlsx(path, sheet=sheet_name)
+    cols = [str(c).strip().lower() for c in header]
+    return spark.createDataFrame(rows, schema=cols)
 
 
 def _json_safe(v: Any) -> Any:

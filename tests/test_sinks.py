@@ -20,23 +20,10 @@ HAS_EXCEL = any(
 )
 
 
-def test_excel_gate_without_engine(spark, tmp_path):
-    if HAS_EXCEL:
-        pytest.skip("an Excel engine is installed here")
-    df = spark.range(3)
-    with pytest.raises(ImportError, match="Excel engine"):
-        write_excel(df, str(tmp_path / "out.xlsx"))
-    with pytest.raises(ImportError, match="Excel engine"):
-        read_excel(spark, str(tmp_path / "out.xlsx"))
-
-
-# ENV-GATED, not an incomplete test: a real .xlsx round trip is
-# impossible without an engine (pandas to_excel AND read_excel both
-# require openpyxl/xlsxwriter, neither baked into this container).
-# The engine-absent half of the gate is test_excel_gate_without_engine
-# above, which runs HERE; this half runs wherever an engine exists.
-@pytest.mark.skipif(not HAS_EXCEL, reason="requires openpyxl or xlsxwriter")
-def test_excel_round_trip_requires_openpyxl_or_xlsxwriter(spark, tmp_path):
+# The round trip runs EVERYWHERE since r6: with openpyxl/xlsxwriter
+# pandas handles it; without, the pure-stdlib OOXML codec
+# (sources/xlsx_lite.py) does — the former env-gated skip is gone.
+def test_excel_round_trip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "b", None)], "id bigint, Name string, score double"
     )
@@ -44,7 +31,59 @@ def test_excel_round_trip_requires_openpyxl_or_xlsxwriter(spark, tmp_path):
     assert write_excel(df, path) == 2
     back = read_excel(spark, path)
     assert back.columns == ["id", "name", "score"]  # hygiene pass lowers names
-    assert back.count() == 2
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+    assert got == [(1, "a", 1.5), (2, "b", None)]
+
+
+def test_xlsx_lite_reads_shared_strings_and_escapes(spark, tmp_path):
+    """The stdlib codec must read files real engines write (shared
+    strings) and survive XML-special characters; built here by hand so
+    the test runs without an engine installed."""
+    import zipfile
+
+    from data_ingestion_task_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    # escaping + type round trip through our own writer
+    p1 = str(tmp_path / "esc.xlsx")
+    write_xlsx(p1, ["Val", "N"], [["a<b&\"c'd>", 7], ["  spaced  ", -1.25]])
+    header, rows = read_xlsx(p1)
+    assert header == ["Val", "N"]
+    assert rows == [["a<b&\"c'd>", 7], ["  spaced  ", -1.25]]
+
+    # a hand-built workbook using the sharedStrings table (the layout
+    # openpyxl/xlsxwriter emit), plus a blank cell gap
+    p2 = str(tmp_path / "sst.xlsx")
+    write_xlsx(p2, ["x"], [])  # scaffold parts, then overwrite the data parts
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(p2, "a") as z:
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst xmlns="{ns}" count="2" uniqueCount="2">'
+            "<si><t>hdr</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>w</t></is></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>3</v></c></row>'
+            '<row r="3"><c r="B3" t="b"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    header, rows = read_xlsx(p2)
+    assert header == ["hdr", "w"]
+    assert rows == [["rich", 3], [None, True]]
+
+
+def test_read_excel_sheet_selection_errors(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "a bigint")
+    path = str(tmp_path / "s.xlsx")
+    write_excel(df, path, sheet_name="results")
+    assert read_excel(spark, path, sheet_name="results").count() == 1
+    if not HAS_EXCEL:  # stdlib codec: named errors for bad selectors
+        with pytest.raises(ValueError, match="no sheet named"):
+            read_excel(spark, path, sheet_name="nope")
+        with pytest.raises(ValueError, match="out of range"):
+            read_excel(spark, path, sheet_name=3)
 
 
 def test_json_metrics_round_trip_dict(tmp_path):
