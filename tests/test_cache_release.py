@@ -70,3 +70,49 @@ def test_star_loop_releases_intermediate_rounds(spark):
     for dep in cached:
         release_frame(dep)
     assert _n_persistent(spark) == base
+
+
+def test_full_api_round_leaves_zero_storage_blocks(spark, sf_dir):
+    """The facade-level caching INVARIANT (VERDICT r5 task 8): a full
+    classify -> extract -> evaluate round through the api, with each
+    result collected then released per the documented contract, must
+    leave the session with zero persistent RDDs — turning the
+    _cached_deps/ReleaseHandle convention into a tested guarantee."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark import api
+
+    base = _n_persistent(spark)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source", F.col("lang").alias("label"))
+        .limit(200)
+    )
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    qry = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+
+    preds = api.classify_documents(qry, idx, label_col="label", k=3)
+    assert preds.count() > 0
+    api.release(preds)
+
+    extracted = api.extract_documents(
+        docs.select("doc_id", "text"), doc_type="invoice"
+    )
+    long = extracted.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("field"), F.col(f"`{c}`").alias("value"))
+                    for c in extracted.columns
+                    if c != "doc_id"
+                ]
+            )
+        ).alias("fv"),
+    ).select("doc_id", "fv.field", "fv.value")
+    report = api.evaluate_extraction(long, long)  # self-eval: 100% table
+    assert report.count() > 0
+    api.release(extracted)
+    api.release(report)
+
+    assert _n_persistent(spark) == base
