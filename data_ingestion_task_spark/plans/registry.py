@@ -251,6 +251,7 @@ def load_all() -> None:
         refine_plans,
         relational_plans,
         retrieval_plans,
+        skew_plans,
         text_plans,
         vector_plans,
     )
