@@ -244,6 +244,7 @@ def load_all() -> None:
         eval_plans,
         events_plans,
         extract_plans,
+        interval_plans,
         ml_plans,
         multimodal_plans,
         normalize_plans,
@@ -254,6 +255,7 @@ def load_all() -> None:
         skew_plans,
         text_plans,
         vector_plans,
+        vocab_plans,
     )
 
     _LOADED = True

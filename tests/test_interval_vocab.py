@@ -1,0 +1,82 @@
+"""Semantics tests for the round-6 additions: the binned
+range-containment join (plans/interval_plans.py) and the BPE pair
+round (plans/vocab_plans.py).
+
+The driver's DuckDB oracle already cross-validates both on the shipped
+testdata; these tests pin the EDGE semantics the random testdata may
+never hit — exact half-open boundary points, an interval straddling a
+bin boundary — and a hand-computed pair tally."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_ingestion_task_spark.plans import registry
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def crafted_events_dir(spark, tmp_path_factory):
+    """events.parquet with every interval boundary case:
+
+    anchor event_id=0 (0 % 97 == 0) at T0 = 01:30:00 — NOT bin-aligned,
+    so its [T0, T0+7200) window straddles the 02:00 bin boundary.
+    Points: T0-1s (out), T0 (in: the anchor), T0+1 (in, first bin),
+    T0+7199 (in, SECOND bin — crosses 02:00), T0+7200 (out, exact
+    exclusive end).
+    """
+    t0 = dt.datetime(2024, 1, 1, 1, 30, 0, tzinfo=UTC)
+
+    def ev(eid, off_s, uid):
+        return (eid, t0 + dt.timedelta(seconds=off_s), uid, "click", 1.0, "{}")
+
+    rows = [
+        ev(0, 0, 10),  # the anchor itself
+        ev(1, -1, 11),  # just before start → out
+        ev(2, 1, 12),  # in, same bin as anchor
+        ev(3, 7199, 13),  # in, next bin (past 02:00)
+        ev(4, 7200, 14),  # exact exclusive end → out
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = str(tmp_path_factory.mktemp("crafted") / "sf")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_interval_join_half_open_boundaries(spark, crafted_events_dir):
+    q = registry.queries_dict()["events_interval_join"]
+    rows = q(spark, crafted_events_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.interval_id == 0 and r.tag == "click"
+    # anchor + offsets 1 and 7199 are in; -1 and 7200 are out —
+    # and 7199 only matches because the interval exploded into the
+    # second bin.
+    assert r.n_events == 3
+    assert r.n_users == 3
+    assert r.sum_value == pytest.approx(3.0)
+
+
+def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
+    # "abab" ×2 docs and "ba!  ba" ×1: tokenizer lowercases, strips
+    # punctuation, splits on whitespace. Vocab: abab (wc 2), ba (wc 2
+    # — two tokens in one doc). Pairs: abab → ab,ba,ab; ba → ba.
+    # Totals: ab = 2*2 = 4, ba = 2*1 + 2*1 = 4.
+    rows = [
+        (1, "abab", "en", "s", 4),
+        (2, "ABAB", "en", "s", 4),
+        (3, "ba!  ba", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path_factory.mktemp("craftedv") / "sf")
+    df.coalesce(1).write.parquet(f"{out}/documents.parquet")
+    q = registry.queries_dict()["bpe_pair_merge"]
+    got = {r.pair: r.pair_count for r in q(spark, out).collect()}
+    assert got == {"ab": 4, "ba": 4}

@@ -295,3 +295,28 @@ def test_ivf_cent_mod_matches_duckdb_formula():
     ).fetchall()
     for n, duck_mod in rows:
         assert duck_mod == max(25, n // isqrt(n)), n
+
+
+def test_interval_join_is_binned_broadcast_hash(plans):
+    # events_interval_join's whole point is that a range-containment
+    # join plans as a bin equi-join, never a nested-loop compare
+    # (plans/interval_plans.py module docstring).
+    plan = plans("events_interval_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # interval → ≤2 bins explode
+
+
+def test_bpe_pair_merge_shape(plans):
+    plan = plans("bpe_pair_merge")
+    # global top-k via per-partition heaps, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    # SCALE.md generator trap: the tokenizer expression must be
+    # materialized in a Project BELOW each Generate; if it leaks into
+    # the Generate itself the regex re-runs per exploded token row
+    # (142s vs 6s at sf1 on the identical retrieval frame).
+    for line in plan.splitlines():
+        if "Generate" in line:
+            assert "regexp_replace" not in line, line
