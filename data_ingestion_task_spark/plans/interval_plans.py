@@ -24,6 +24,20 @@ the join. The same binning carries any interval length: width tracks
 ``max(hi - lo)`` (or long intervals are range-partitioned into
 segments), a knob, not a redesign.
 
+Scale knobs, because bin width trades three quantities:
+
+- ``W = max interval length`` (this module) minimizes interval
+  replication (≤ 2×) but caps shuffle parallelism at ``timespan / W``
+  distinct bin keys — fine while the interval side broadcasts (no
+  shuffle at all, the registered case: anchors are dimension-sized).
+- When BOTH sides are fact-sized, drop the broadcast hint (shuffle-
+  hash equi-join on ``bin``) and SHRINK ``W``: points still map to one
+  bin each, intervals replicate to ``len/W + 1`` bins, and bin
+  cardinality — i.e. reducer parallelism — multiplies by the same
+  factor. Replication cost lands only on the (smaller) interval side;
+  ``W ≈ len/64`` turns a year of 2-hour windows into ~280k bin keys,
+  enough to feed a 1000-executor shuffle without salting.
+
 Query semantics (deterministic from the ``events`` table alone —
 TESTDATA.md ships no interval table): every 97th event anchors a
 2-hour half-open attribution window ``[ts, ts+7200s)`` tagged with

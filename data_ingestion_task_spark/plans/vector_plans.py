@@ -634,8 +634,18 @@ def _d_ivf_branch(p: int) -> str:
            FROM q0 CROSS JOIN x0),
     er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, neighbor_id) AS rnk FROM ep),
+    cmod AS (
+      -- nlist ≈ √N, same exact-integer-sqrt idiom as ann_ivf_topk
+      SELECT GREATEST({_IVF_AUDIT_MOD},
+                      n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1
+                                      WHEN s0*s0 > n THEN -1
+                                      ELSE 0 END)) AS m
+      FROM (SELECT COUNT(*) AS n,
+                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+            FROM x0)
+    ),
     cent AS (SELECT neighbor_id AS centroid_id, v AS cv FROM x0
-             WHERE neighbor_id % {_IVF_AUDIT_MOD} = 1),
+             WHERE neighbor_id % (SELECT m FROM cmod) = 1),
     assign AS (
       SELECT x0.neighbor_id, x0.v, cent.centroid_id,
              ROW_NUMBER() OVER (PARTITION BY x0.neighbor_id
@@ -679,11 +689,24 @@ def ivf_recall_audit(
     pass, the centroid codebook, the inverted-list assignment, and the
     full probe ranking (each branch only filters prn <= n_probe) —
     then every branch is tagged and unioned into ONE aggregate action,
-    the same single-job shape as ann_recall_audit."""
+    the same single-job shape as ann_recall_audit.
+
+    ``cent_mod`` scales with the index so nlist ≈ √N — the same rule
+    (and the same DuckDB exact-isqrt oracle idiom) as
+    :func:`ann_ivf_topk`, which adopted it in r5 after a fixed mod
+    measured 62× at 30× data. This audit kept the fixed
+    ``_IVF_AUDIT_MOD`` and the round-6 full-registry 30× probe caught
+    it at 55.4× (278 s) — assignment and probe selection are N×nlist
+    expansions, so nlist ∝ N makes them quadratic. Re-probed 5.2×
+    (33.4 s) with the √N rule; the floor stays ``_IVF_AUDIT_MOD``."""
+    from math import isqrt
+
     from pyspark.sql.window import Window
 
     q, x = _split(spark, sf_dir)
     q = q.filter(F.col("query_id") % sample_mod == 0)
+    n_index = x.count()
+    cent_mod = max(_IVF_AUDIT_MOD, n_index // isqrt(n_index)) if n_index else _IVF_AUDIT_MOD
     exact = (
         knn_join_exact(
             x.select("neighbor_id", "embedding"),
@@ -702,7 +725,7 @@ def ivf_recall_audit(
     xn = normalize_embeddings(x.select("neighbor_id", "embedding")).select(
         "neighbor_id", F.col("embedding").alias("_xv")
     )
-    cent = xn.filter(F.col("neighbor_id") % _IVF_AUDIT_MOD == 1).select(
+    cent = xn.filter(F.col("neighbor_id") % cent_mod == 1).select(
         F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv")
     )
     # Same max_by / sorted-array shapes as knn_join_ivf (see the scale
