@@ -33,12 +33,19 @@ def crafted_events_dir(spark, tmp_path_factory):
     def ev(eid, off_s, uid):
         return (eid, t0 + dt.timedelta(seconds=off_s), uid, "click", 1.0, "{}")
 
+    # Second anchor event_id=97 at 04:00:00 exactly — epoch % 7200
+    # == 0, so its window occupies exactly ONE bin (the sequence()
+    # explode degenerates to a single element) and must still match.
+    aligned = 9000  # 01:30 + 9000s = 04:00:00 UTC
     rows = [
         ev(0, 0, 10),  # the anchor itself
         ev(1, -1, 11),  # just before start → out
         ev(2, 1, 12),  # in, same bin as anchor
         ev(3, 7199, 13),  # in, next bin (past 02:00)
         ev(4, 7200, 14),  # exact exclusive end → out
+        ev(97, aligned, 20),  # bin-aligned anchor
+        ev(98, aligned + 7199, 21),  # in, same (single) bin
+        ev(99, aligned + 7200, 22),  # out
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
@@ -50,16 +57,19 @@ def crafted_events_dir(spark, tmp_path_factory):
 
 def test_interval_join_half_open_boundaries(spark, crafted_events_dir):
     q = registry.queries_dict()["events_interval_join"]
-    rows = q(spark, crafted_events_dir).collect()
-    assert len(rows) == 1
+    rows = {r.interval_id: r for r in q(spark, crafted_events_dir).collect()}
+    assert set(rows) == {0, 97}
     r = rows[0]
-    assert r.interval_id == 0 and r.tag == "click"
+    assert r.tag == "click"
     # anchor + offsets 1 and 7199 are in; -1 and 7200 are out —
     # and 7199 only matches because the interval exploded into the
     # second bin.
     assert r.n_events == 3
     assert r.n_users == 3
     assert r.sum_value == pytest.approx(3.0)
+    # bin-aligned window: single-bin explode, same half-open edges
+    r97 = rows[97]
+    assert r97.n_events == 2 and r97.n_users == 2
 
 
 def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
