@@ -65,6 +65,66 @@ _D_VAL_DEC = "CAST(round(value, 6) AS DECIMAL(18,6))"
 
 
 @query(
+    "events_multires_rollup",
+    oracle=f"""
+    WITH b AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             {_D_VAL_DEC} AS v
+      FROM events
+    )
+    SELECT day, hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value,
+           CASE WHEN day IS NULL THEN 3
+                WHEN hour IS NULL THEN 1
+                ELSE 0 END AS lvl
+    FROM b GROUP BY ROLLUP(day, hour)
+    ORDER BY lvl, day, hour
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour, day, and grand
+    totals in ONE pass via ``rollup(day, hour)`` — the multi-
+    resolution rollup a time-series store materializes per refresh.
+
+    Why one pass wins at 100 TB: three separate aggregations scan the
+    fact table three times; a rollup scans ONCE — Catalyst plans an
+    Expand (×3 rows, one copy per grouping set) feeding a single
+    partial-then-final hash aggregate, and because the rollup keys are
+    tiny-cardinality (day, hour), map-side partial aggregation
+    collapses the expanded rows back to ~3× the hour-grain group count
+    before the one shuffle. The level tag is derived from the NULLed
+    keys (not ``grouping_id()``) so the DuckDB twin computes it with
+    the identical CASE — engine-portable, and 3 = grand total keeps
+    the same bit values Spark's grouping_id would give.
+
+    In production the three grains land in a partitioned materialized
+    table and refresh incrementally per closed day-partition; the
+    registered query is the per-refresh computation."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        b.rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .withColumn(
+            "lvl",
+            F.when(F.col("day").isNull(), F.lit(3))
+            .when(F.col("hour").isNull(), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .orderBy("lvl", "day", "hour")
+    )
+
+
+@query(
     "events_interval_join",
     oracle=f"""
     WITH pts AS (

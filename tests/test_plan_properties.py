@@ -320,3 +320,14 @@ def test_bpe_pair_merge_shape(plans):
     for line in plan.splitlines():
         if "Generate" in line:
             assert "regexp_replace" not in line, line
+
+
+def test_multires_rollup_single_scan_one_shuffle(plans):
+    # hypertable rollup: all three grains from ONE scan and ONE hash
+    # exchange (Expand feeds a partial agg that collapses map-side);
+    # the only other exchange is the cosmetic range partition for the
+    # presentation orderBy.
+    plan = plans("events_multires_rollup")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("hashpartitioning") == 1
