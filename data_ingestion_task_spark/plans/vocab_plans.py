@@ -14,6 +14,9 @@ map-side partial aggs absorb the token stream before the one shuffle
 on ``w``. A full tokenizer train is a short driver loop over this
 primitive with the winning pair folded into the symbolization; the
 engine registers the single round — the loop adds no new plan shape.
+The loop itself ships as ``operators/bpe.py::train_bpe`` (vocab-grain
+state, boundary-guarded merge fold, per-round localCheckpoint),
+verified against an independent pure-Python BPE in tests/test_bpe.py.
 
 Catalyst note (SCALE.md generator trap): the token array is
 materialized in its OWN projection below the explode; exploding the
