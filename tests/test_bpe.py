@@ -9,6 +9,7 @@ reference, on a corpus crafted to exercise the two merge-fold traps:
 
 from __future__ import annotations
 
+from data_ingestion_task_spark.functions.cache import release_frame
 from data_ingestion_task_spark.operators.bpe import _SEP, train_bpe
 
 
@@ -63,6 +64,7 @@ def test_train_bpe_matches_reference(spark):
 
     assert merges == EXPECTED_MERGES == ref_merges
     got = {r["sym_str"]: r["wc"] for r in vocab.collect()}
+    release_frame(vocab)  # caller owns the returned frame's lifetime
     want = {_SEP.join(syms): c for syms, c in ref_vocab.items()}
     assert got == want
     # the two trap words, explicitly
@@ -77,3 +79,4 @@ def test_train_bpe_stops_when_dry(spark):
     merges, vocab = train_bpe(spark, docs, n_merges=5)
     assert merges == []
     assert vocab.count() == 3
+    release_frame(vocab)
