@@ -254,6 +254,7 @@ def load_all() -> None:
         retrieval_plans,
         skew_plans,
         text_plans,
+        upsert_plans,
         vector_plans,
         vocab_plans,
     )

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash64
 from ..functions.vectors import dot, ip_to_unit, l2_distance
-from ..operators.knn import hyperplane, knn_join_exact, knn_join_lsh, normalize_embeddings
+from ..operators.knn import (
+    hyperplane,
+    knn_join_exact,
+    knn_join_lsh,
+    knn_topk,
+    normalize_embeddings,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -45,6 +51,39 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", F.col("rank").alias("rnk"), "neighbor_id", F.round("sim", 9).alias("sim")
     ).orderBy("query_id", "rnk")
+
+
+@query(
+    "knn_topk_routed",
+    oracle=_D_SPLIT
+    + """
+    SELECT query_id, rnk, neighbor_id, round(sim, 9) AS sim
+    FROM r WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+)
+def knn_topk_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The size-routed ``knn_topk`` FACADE (operators/knn.py:243)
+    under the oracle gate: at any sf the driver checks, the index side
+    is under the broadcast cap, so the facade must route to the exact
+    band and reproduce :func:`knn_join_exact` bit-for-bit — which the
+    exact-kNN oracle pins, certifying the routing gate itself (count →
+    band choice → identical result) rather than only the underlying
+    join. The PQ/LSH bands stay recall-pinned in tests/test_pq.py and
+    tests/test_knn_gate.py per SURVEY §5 (approximate results have no
+    SQL twin)."""
+    q, x = _split(spark, sf_dir)
+    res = knn_topk(
+        x.select("neighbor_id", "embedding"),
+        q.select("query_id", "embedding"),
+        k=3,
+        dim=DIM,
+    )
+    out = res.select(
+        "query_id", F.col("rank").alias("rnk"), "neighbor_id", F.round("sim", 9).alias("sim")
+    ).orderBy("query_id", "rnk")
+    # forward the facade's cache handle per the repo caching contract
+    out._cached_deps = getattr(res, "_cached_deps", [])  # type: ignore[attr-defined]
+    return out
 
 
 @query(

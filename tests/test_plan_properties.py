@@ -212,6 +212,11 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_python.append(name)
+        # construction-time caches (facade routing counts, retrieval
+        # persists) — release per the _cached_deps contract so the
+        # sweep doesn't accumulate a cache entry per query
+        for dep in getattr(df, "_cached_deps", []):
+            dep.unpersist()
     assert windows == [], f"unpartitioned Window in: {windows}"
     assert cartesian == [], f"CartesianProduct in: {cartesian}"
     assert row_python == [], f"row-at-a-time Python UDF in: {row_python}"
