@@ -42,28 +42,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cache import release_frame
-from ..plans._text_shared import spark_norm_words
+from ..plans.vocab_plans import word_counts
 
 #: Symbol separator — outside the tokenizer's [a-z0-9] alphabet.
 _SEP = "\x1f"
 
 
 def initial_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus → ``(sym_str, wc)``: the one corpus-sized pass. Words
-    come from the engine-wide corpus tokenizer; each word becomes its
-    character symbols joined by ``_SEP``."""
-    toks = docs.select(spark_norm_words(text_col).alias("toks"))
-    words = toks.select(F.explode("toks").alias("w"))
-    return (
-        words.where(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .select(
-            F.array_join(
-                F.filter(F.split("w", ""), lambda c: c != ""), _SEP
-            ).alias("sym_str"),
-            "wc",
-        )
+    """Corpus → ``(sym_str, wc)``: the one corpus-sized pass, built on
+    the SAME ``word_counts`` stage as the certified ``bpe_pair_merge``
+    primitive (single-source, review finding r6 — tokenizer call and
+    length floor cannot drift); each word then becomes its character
+    symbols joined by ``_SEP``."""
+    return word_counts(docs, text_col).select(
+        F.array_join(
+            F.filter(F.split("w", ""), lambda c: c != ""), _SEP
+        ).alias("sym_str"),
+        "wc",
     )
 
 

@@ -11,13 +11,17 @@ anti-joined remainder of the base — so a store that dropped a bucket,
 resurrected an overwritten row, or double-applied the delta hash-
 mismatches.
 
-Determinism across repeated runs on one sf_dir: the delta's keys
-(even ``o_orderkey``) are a subset of the base's (``% 4 != 3`` —
-every even key satisfies it), so re-running merge(base) overwrites
-every key a previous run left behind; the store root is tagged with
-md5(sf_dir) (the `bucketed_plans` lesson, ADVICE r5 #1) so two
-datasets never share a store. Writes land under the session's
-warehouse dir like the bucketed tables.
+Determinism across repeated runs: the store root is deleted and
+rebuilt every call. Key-overlap alone (the delta's even keys are a
+subset of the base's ``% 4 != 3`` keys, so merge(base) overwrites
+every key a previous run wrote) is NOT enough — the driver
+regenerates the testdata between rounds at the SAME path, and a
+store keyed only by md5(sf_dir) would carry ghost keys from the old
+dataset through the anti-join side of every later merge, poisoning
+oracle parity forever (round-6 review finding). The md5(sf_dir) tag
+still keeps two datasets from sharing a root; the per-call rebuild
+makes the query a pure function of the current table bytes. Writes
+land under the session's warehouse dir like the bucketed tables.
 
 Scale: merge() rewrites only the buckets the delta touches;
 ``read()`` is a plain partitioned-parquet scan (``bucket`` prunes),
@@ -32,6 +36,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.compact import _hadoop_fs
 from ..sources.tables import load_table
 from ..sources.upsert import KeyedParquetStore
 from .registry import query
@@ -81,8 +86,15 @@ def upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
     tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    root = f"{wh}/upsert_store_{tag}"
+    # fresh store per call (module docstring) — delete is guarded to
+    # the query's own tagged directory under the warehouse
+    assert root.endswith(f"/upsert_store_{tag}")
+    jvm, fs, hpath = _hadoop_fs(spark, root)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     store = KeyedParquetStore(
-        spark, f"{wh}/upsert_store_{tag}", key="o_orderkey", n_buckets=_N_BUCKETS
+        spark, root, key="o_orderkey", n_buckets=_N_BUCKETS
     )
     store.merge(base)
     store.merge(delta)

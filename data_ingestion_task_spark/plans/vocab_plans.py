@@ -38,6 +38,24 @@ from .registry import query
 TOP_PAIRS = 32
 
 
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → ``(w, wc)`` vocabulary with frequencies: the shared
+    FIRST stage of the registered ``bpe_pair_merge`` round and the
+    ``operators/bpe.py`` trainer — defined once so the tokenizer
+    call and the ≥2-length floor cannot drift between the certified
+    primitive and the loop that iterates it (the same single-source
+    rule ``_text_shared`` enforces for the tokenizer itself).
+    The token array is materialized in its own projection below the
+    explode (module docstring Catalyst note)."""
+    toks = docs.select(spark_norm_words(text_col).alias("toks"))
+    words = toks.select(F.explode("toks").alias("w"))
+    return (
+        words.where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
 @query(
     "bpe_pair_merge",
     oracle=f"""
@@ -63,19 +81,11 @@ TOP_PAIRS = 32
 def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE merge round over ``documents``: corpus word counts →
     per-vocab-word adjacent character pairs weighted by word frequency
-    → top-{TOP_PAIRS} merge candidates. Total order (count DESC, pair
+    → top-``TOP_PAIRS`` merge candidates. Total order (count DESC, pair
     ASC) makes the limit boundary deterministic; the global top-k
     plans as TakeOrderedAndProject (per-partition heaps), never a full
     sort."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        spark_norm_words("text").alias("toks")
-    )
-    words = docs.select(F.explode("toks").alias("w"))
-    vocab = (
-        words.where(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").alias("wc"))
-    )
+    vocab = word_counts(load_table(spark, sf_dir, "documents"))
     pair_arr = vocab.select(
         F.expr(
             "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"

@@ -68,7 +68,18 @@ def interval_tag_stream(
     ``stream`` needs an event-time column ``ts``; ``intervals`` is the
     static ``(interval_id, tag, start_s)`` frame. Inner join: events
     outside every window are dropped (use the untagged stream for the
-    rest — this is the attribution branch)."""
+    rest — this is the attribution branch).
+
+    ``ts_s`` and ``bin`` are derived here; a stream already carrying
+    either name would be silently clobbered by ``withColumn``, so it
+    is rejected instead (same guard as ``KeyedParquetStore.merge``'s
+    reserved ``bucket`` column)."""
+    reserved = {"ts_s", "bin"} & set(stream.columns)
+    if reserved:
+        raise ValueError(
+            f"stream already has reserved column(s) {sorted(reserved)}; "
+            "rename them before interval_tag_stream"
+        )
     pts = stream.withColumn("ts_s", F.unix_timestamp("ts")).withColumn(
         "bin", F.floor(F.col("ts_s") / bin_s)
     )
