@@ -55,7 +55,12 @@ def test_xlsx_lite_reads_shared_strings_and_escapes(spark, tmp_path):
     p2 = str(tmp_path / "sst.xlsx")
     write_xlsx(p2, ["x"], [])  # scaffold parts, then overwrite the data parts
     ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
-    with zipfile.ZipFile(p2, "a") as z:
+    # appending a second sheet1.xml shadows the scaffold's (readers take
+    # the last entry) — zipfile warns about the duplicate; expected here
+    import warnings
+
+    with warnings.catch_warnings(), zipfile.ZipFile(p2, "a") as z:
+        warnings.simplefilter("ignore", UserWarning)
         z.writestr(
             "xl/sharedStrings.xml",
             f'<?xml version="1.0"?><sst xmlns="{ns}" count="2" uniqueCount="2">'
