@@ -95,3 +95,35 @@ def test_topk_tiny_index_small_cap_falls_to_lsh(spark):
     ).collect()
     assert routed == lsh
     assert len(routed) > 0
+
+
+def test_exact_empty_index_returns_empty(spark):
+    # The exact band's twin of the knn_join_pq empty-index guard: a
+    # zero-row index has zero neighbors; pre-guard this died on an
+    # executor-side numpy AxisError from a 0-d broadcast matrix.
+    idx = _toy_vectors(spark, 20, id_col="neighbor_id").filter("neighbor_id < 0")
+    q = _toy_vectors(spark, 5, id_col="query_id")
+    res = knn_join_exact(idx, q, k=3)
+    assert res.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    assert res.count() == 0
+
+
+def test_exact_rejects_null_and_ragged_index_vectors(spark):
+    # The Arrow index materialization reshapes to an (n, dim) matrix —
+    # nulls or ragged widths must be a named error, not a silent
+    # misaligned reshape.
+    q = _toy_vectors(spark, 3, id_col="query_id")
+    with_null = _toy_vectors(spark, 6, id_col="neighbor_id").withColumn(
+        "embedding",
+        F.when(F.col("neighbor_id") == 3, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="null"):
+        knn_join_exact(with_null, q, k=2)
+    ragged = _toy_vectors(spark, 6, id_col="neighbor_id").withColumn(
+        "embedding",
+        F.when(
+            F.col("neighbor_id") == 3, F.slice(F.col("embedding"), 1, 4)
+        ).otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        knn_join_exact(ragged, q, k=2)
