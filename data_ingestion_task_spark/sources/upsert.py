@@ -241,6 +241,13 @@ class KeyedParquetStore:
                 out = ub
 
             tmp_root = self.root + TMP_SUFFIX
+            # One shuffle partition per hit bucket (the docstring's sizing
+            # math: a bucket ≈ 200 MB ≈ one task) so each merge lands ONE
+            # file per bucket. Without this, partitionBy splits every
+            # upstream task across every bucket — measured 426 files in an
+            # 8-bucket store after two merges at sf0.1, and every later
+            # merge/read pays the small-file tax re-scanning them.
+            out = out.repartition(max(len(hit), 1), "bucket")
             out = out.persist()  # one pass feeds both the write and the audit count
             out.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
             carried = out.count() - n_new
