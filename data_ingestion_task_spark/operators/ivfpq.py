@@ -1,0 +1,181 @@
+"""IVF-PQ approximate kNN — the composition that completes the ANN
+ladder (exact → PQ → LSH → IVF → **IVF-PQ**), and the canonical
+billion-vector layout (FAISS ``IndexIVFPQ``; the reference's flat
+``IndexFlatIP`` sits at the ladder's exact end,
+`code/python/Faiss_2_10.py:70-146`).
+
+Why it exists when :mod:`knn` already has IVF and :mod:`pq` has PQ:
+
+- ``knn_join_ivf``'s cell equi-join ships the FULL dim-double vector
+  for every index row through the shuffle — at 100 TB the inverted
+  lists ARE the corpus.
+- ``knn_join_pq`` broadcasts the whole code matrix to every executor —
+  capped at ~32M rows by driver/executor memory.
+
+IVF-PQ keeps the big side distributed AND narrow: the shuffled
+inverted-list representation is ``(centroid_id, id, m codes)`` — for
+a 64-dim float64 corpus at ``m=8`` that is ~8× fewer bytes per row
+than IVF's raw vectors (cast the codes to a binary sink column for
+another 8× at rest) — while only the centroid codebook and the PQ
+codebooks (both tiny) are broadcast. Per query, only ``n_probe``
+cells' codes are ADC-scored, and an optional exact re-rank restores
+true-cosine precision for the surfaced top-k.
+
+Semantics: PQ codes encode the L2-NORMALIZED vectors directly (the
+``by_residual=False`` flavor of FAISS IVFPQ) — one global codebook
+instead of per-cell residual codebooks keeps training sample-sized
+and the encode stage a single narrow Arrow pass.
+
+Everything is deterministic: centroid choice and assignment tie-break
+by id, PQ training is seeded by id order, ADC scores are fixed-order
+float64 reductions, and both rank windows break ties by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot
+from .knn import (
+    _nearest_centroid,
+    _probe_cells,
+    normalize_embeddings,
+    require_integral_ids,
+)
+from .pq import pq_encode, train_pq_codebooks
+
+
+def knn_join_ivfpq(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    centroid_mod: int = 25,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    overscan: int = 8,
+    rerank: str = "exact",
+    query_id: str = "query_id",
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate cosine top-k with IVF coarse pruning + PQ-coded
+    inverted lists. Output ``(query_id, neighbor_id, sim, rank)`` —
+    the same contract as ``knn_join_exact``/``knn_join_pq``.
+
+    Stages (and what moves where):
+
+    1. **Centroids** — trained ``codebook`` (``(centroid_id, vec)``,
+       e.g. ``train_ivf_codebook``) or the deterministic id-residue
+       subset ``index_id % centroid_mod == 1``. Broadcast.
+    2. **Build** — every index vector is assigned to its argmax-cosine
+       centroid (broadcast join + map-side-combined aggregate, one
+       compact exchange) and PQ-encoded in the SAME narrow Arrow pass
+       (``pq_encode(carry_cols=("centroid_id",))`` — no N-row
+       self-join to reattach the cell). The persisted-form lists are
+       ``(centroid_id, id, m smallint codes)``.
+    3. **Probe** — each query picks its ``n_probe`` nearest centroids
+       (broadcast, one exchange on query_id).
+    4. **ADC** — probes ⋈ lists on ``centroid_id`` (the only shuffle
+       that scales with N, and it carries codes, not vectors), then a
+       vectorized Arrow stage scores each candidate as
+       ``Σ_j q_sub_j · books[j][code_j]`` via a numpy gather — no
+       per-query table build, O(batch × dim).
+    5. **Top-k** — keep ``k·overscan`` per query by ADC score;
+       ``rerank="exact"`` (default) re-scores the survivors with the
+       exact JVM-side sequential dot against the raw index vectors (one
+       hash join; the candidate side is broadcast, so the raw corpus is
+       NOT reshuffled) so surfaced sims are true cosines; only
+       candidate CHOICE stays approximate, tuned by
+       ``(n_probe, overscan, n_codes)``. ``rerank="adc"`` skips the
+       second pass entirely — sims are then ADC approximations and the
+       raw vectors are never touched after the build.
+
+    Training needs ≥ ``n_codes`` index rows (``train_pq_codebooks``
+    raises a named error below that); pass precomputed ``codebooks``
+    (numpy ``(m, n_codes, dim//m)``) to skip training, e.g. when
+    searching many deltas against one frozen index.
+    """
+    import numpy as np
+
+    if rerank not in ("exact", "adc"):
+        raise ValueError(f"rerank must be 'exact' or 'adc', got {rerank!r}")
+    require_integral_ids(
+        "knn_join_ivfpq", (index_df, index_id), (query_df, query_id)
+    )
+    spark = query_df.sparkSession
+
+    q = normalize_embeddings(query_df, vec_col).select(
+        query_id, F.col(vec_col).alias("_qv")
+    )
+    x = normalize_embeddings(index_df, vec_col).select(
+        index_id, F.col(vec_col).alias("_xv")
+    )
+    if codebook is not None:
+        cent = normalize_embeddings(codebook, vec_col).select(
+            "centroid_id", F.col(vec_col).alias("_cv")
+        )
+    else:
+        cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
+            F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
+        )
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(index_df, index_id, vec_col, m=m, n_codes=n_codes)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    mm, nc, d_sub = books.shape
+
+    # Build: assignment + encoding fused into one narrow pass over the
+    # index; smallint codes (nc ≤ 256 by the pq trainer's uint8 gate).
+    assigned = _nearest_centroid(x, cent, index_id)
+    lists = pq_encode(
+        assigned, books, id_col=index_id, vec_col="_xv",
+        carry_cols=("centroid_id",),
+    ).select(index_id, "centroid_id", F.col("codes").cast("array<smallint>").alias("codes"))
+
+    probes = _probe_cells(q, cent, query_id, n_probe)
+    cand = probes.join(lists, "centroid_id")
+
+    bc = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf("double")
+    def adc_sim(codes, qv):
+        import numpy as np
+        import pandas as pd
+
+        b = bc.value
+        m_, _, d_ = b.shape
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cm = np.array(list(codes), dtype=np.int64)  # (B, m)
+        qm = np.array(list(qv), dtype=np.float64).reshape(len(cm), m_, d_)
+        sel = b[np.arange(m_)[None, :], cm]  # (B, m, d_sub) gather
+        return pd.Series(np.einsum("bmd,bmd->b", sel, qm))
+
+    wo = Window.partitionBy(query_id).orderBy(F.desc("_adc"), F.asc(index_id))
+    shortlist = (
+        cand.select(query_id, index_id, adc_sim("codes", "_qv").alias("_adc"))
+        .withColumn("_r", F.row_number().over(wo))
+        .filter(F.col("_r") <= k * overscan)
+    )
+
+    wf = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))
+    if rerank == "adc":
+        return (
+            shortlist.select(query_id, index_id, F.col("_adc").alias("sim"))
+            .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+    rescored = (
+        x.join(F.broadcast(shortlist.select(query_id, index_id)), index_id)
+        .join(q, query_id)
+        .select(query_id, index_id, dot(F.col("_qv"), F.col("_xv")).alias("sim"))
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

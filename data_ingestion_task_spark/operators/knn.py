@@ -381,6 +381,39 @@ def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _probe_cells(
+    q: DataFrame, cent: DataFrame, query_id: str, n_probe: int
+) -> DataFrame:
+    """``(query_id, _qv)`` × broadcast ``(centroid_id, _cv)`` →
+    ``(query_id, _qv, centroid_id)``, one row per probed cell: each
+    query's top-``n_probe`` centroids by (sim DESC, centroid_id ASC).
+    Shared by :func:`knn_join_ivf` and ``knn_join_ivfpq``.
+
+    Per-query selection runs via an array sort over the collected
+    (neg_sim, centroid_id) pairs — same single shuffle on query_id as
+    a window version, but the exchange ships one compact nlist-length
+    struct array + one _qv per QUERY instead of nlist copies of the
+    dim-double query vector (~dim× less shuffle volume). sort_array
+    ascending on (neg_sim, centroid_id) ≡ sim DESC, centroid_id ASC."""
+    return (
+        q.join(F.broadcast(cent), F.lit(True))
+        .select(
+            query_id,
+            "_qv",
+            F.struct(
+                (-dot(F.col("_qv"), F.col("_cv"))).alias("neg_sim"),
+                F.col("centroid_id").alias("centroid_id"),
+            ).alias("_p"),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.first("_qv").alias("_qv"),
+            F.slice(F.sort_array(F.collect_list("_p")), 1, n_probe).alias("_top"),
+        )
+        .select(query_id, "_qv", F.explode(F.col("_top.centroid_id")).alias("centroid_id"))
+    )
+
+
 def train_ivf_codebook(
     index_df: DataFrame,
     index_id: str = "neighbor_id",
@@ -493,31 +526,7 @@ def knn_join_ivf(
         )
 
     inverted = _nearest_centroid(x, cent, index_id)
-
-    # Probe selection: per-query top-n_probe centroids via an array
-    # sort over the collected (neg_sim, centroid_id) pairs — same
-    # single shuffle on query_id as the window version, but the
-    # exchange ships one compact nlist-length struct array + one _qv
-    # per QUERY instead of nlist copies of the dim-double query vector
-    # (~dim× less shuffle volume). sort_array ascending on
-    # (neg_sim, centroid_id) ≡ sim DESC, centroid_id ASC.
-    probes = (
-        q.join(F.broadcast(cent), F.lit(True))
-        .select(
-            query_id,
-            "_qv",
-            F.struct(
-                (-dot(F.col("_qv"), F.col("_cv"))).alias("neg_sim"),
-                F.col("centroid_id").alias("centroid_id"),
-            ).alias("_p"),
-        )
-        .groupBy(query_id)
-        .agg(
-            F.first("_qv").alias("_qv"),
-            F.slice(F.sort_array(F.collect_list("_p")), 1, n_probe).alias("_top"),
-        )
-        .select(query_id, "_qv", F.explode(F.col("_top.centroid_id")).alias("centroid_id"))
-    )
+    probes = _probe_cells(q, cent, query_id, n_probe)
 
     pairs = probes.join(inverted, "centroid_id")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))

@@ -104,13 +104,16 @@ def pq_encode(
     codebooks,
     id_col: str = "neighbor_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Distributed PQ encoding: ``(id, codes array<int>)`` with
-    ``codes[j]`` = nearest centroid of subspace ``j`` (L2, ties to the
-    lowest code — numpy argmin). One narrow Arrow stage, linear in N."""
+    """Distributed PQ encoding: ``(id, codes array<int>[, carry...])``
+    with ``codes[j]`` = nearest centroid of subspace ``j`` (L2, ties to
+    the lowest code — numpy argmin). One narrow Arrow stage, linear in
+    N. ``carry_cols`` ride through unchanged (e.g. a coarse-cell id),
+    saving the caller an N-row self-join to reattach them."""
     import numpy as np
 
-    ndf = normalize_embeddings(df, vec_col).select(id_col, vec_col)
+    ndf = normalize_embeddings(df, vec_col).select(id_col, vec_col, *carry_cols)
     m, n_codes, d_sub = codebooks.shape
     bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(codebooks))
 
@@ -129,9 +132,15 @@ def pq_encode(
                 sub = vm[:, j * d_sub : (j + 1) * d_sub]
                 d2 = csq[j][None, :] - 2.0 * (sub @ books[j].T)
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            out = {id_col: pdf[id_col], "codes": list(codes)}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return ndf.mapInPandas(enc, f"{id_col} long, codes array<long>")
+    carry_schema = "".join(
+        f", {c} {ndf.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    return ndf.mapInPandas(enc, f"{id_col} long, codes array<long>{carry_schema}")
 
 
 def knn_join_pq(
