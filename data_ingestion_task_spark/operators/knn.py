@@ -299,7 +299,11 @@ def knn_topk(
     candidate choice is approximate (recall tuned by ``pq_overscan``;
     pass ``pq_overscan=None`` to skip the band); above that,
     identical to :func:`knn_join_lsh` (approximate — recall tuned by
-    ``n_bits``).
+    ``n_bits``). Past the PQ band, callers with a TRAINED coarse
+    codebook (a frozen corpus searched repeatedly) should prefer
+    :func:`..ivfpq.knn_join_ivfpq` directly — its inverted lists ship
+    PQ codes through the cell shuffle instead of LSH's raw vectors;
+    the facade keeps LSH as its codebook-free default.
 
     The routing count would re-execute a DERIVED index pipeline that
     the chosen path then executes again (for an expensive encode stage
