@@ -57,6 +57,7 @@ def knn_join_ivfpq(
     n_codes: int = 16,
     overscan: int = 8,
     rerank: str = "exact",
+    broadcast_rerank: bool = True,
     query_id: str = "query_id",
     index_id: str = "neighbor_id",
     vec_col: str = "embedding",
@@ -88,12 +89,16 @@ def knn_join_ivfpq(
     5. **Top-k** — keep ``k·overscan`` per query by ADC score;
        ``rerank="exact"`` (default) re-scores the survivors with the
        exact JVM-side sequential dot against the raw index vectors (one
-       hash join; the candidate side is broadcast, so the raw corpus is
-       NOT reshuffled) so surfaced sims are true cosines; only
-       candidate CHOICE stays approximate, tuned by
-       ``(n_probe, overscan, n_codes)``. ``rerank="adc"`` skips the
-       second pass entirely — sims are then ADC approximations and the
-       raw vectors are never touched after the build.
+       hash join; with ``broadcast_rerank=True``, the default, the
+       id-pair shortlist is broadcast so the raw corpus is NOT
+       reshuffled — right while the query side stays
+       dimension-table-sized; at millions of simultaneous queries pass
+       ``broadcast_rerank=False`` to shuffle-join instead) so surfaced
+       sims are true cosines; only candidate CHOICE stays approximate,
+       tuned by ``(n_probe, overscan, n_codes)``. ``rerank="adc"``
+       skips the second pass entirely — sims are then ADC
+       approximations and the raw vectors are never touched after the
+       build.
 
     Training needs ≥ ``n_codes`` index rows (``train_pq_codebooks``
     raises a named error below that); pass precomputed ``codebooks``
@@ -123,6 +128,16 @@ def knn_join_ivfpq(
         cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
             F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
         )
+    # An empty centroid set makes every downstream join empty — zero
+    # neighbors for every query with no signal anything is wrong (e.g.
+    # all-even ids can have no id ≡ 1 mod centroid_mod). One limit(1)
+    # job on the build path names it instead.
+    if cent.limit(1).count() == 0:
+        raise ValueError(
+            "knn_join_ivfpq: empty centroid set — no index id satisfies "
+            f"id % {centroid_mod} == 1 (or the supplied codebook is empty); "
+            "pass a trained codebook or a centroid_mod that hits the id space"
+        )
 
     if codebooks is None:
         codebooks = train_pq_codebooks(index_df, index_id, vec_col, m=m, n_codes=n_codes)
@@ -134,7 +149,7 @@ def knn_join_ivfpq(
     assigned = _nearest_centroid(x, cent, index_id)
     lists = pq_encode(
         assigned, books, id_col=index_id, vec_col="_xv",
-        carry_cols=("centroid_id",),
+        carry_cols=("centroid_id",), prenormalized=True,
     ).select(index_id, "centroid_id", F.col("codes").cast("array<smallint>").alias("codes"))
 
     probes = _probe_cells(q, cent, query_id, n_probe)
@@ -170,8 +185,18 @@ def knn_join_ivfpq(
             .withColumn("rank", F.row_number().over(wf).cast("bigint"))
             .filter(F.col("rank") <= k)
         )
+    # The shortlist is Q_distinct × k × overscan id-pairs. Broadcasting
+    # it lets the raw corpus stream through the re-rank unshuffled —
+    # right whenever the query side is dimension-table-sized (the
+    # common retrieve/classify regime). With millions of simultaneous
+    # queries that broadcast is itself the scale killer: pass
+    # ``broadcast_rerank=False`` to take the shuffle join instead
+    # (repartitions the raw index once on id — still one pass).
+    ids_only = shortlist.select(query_id, index_id)
+    if broadcast_rerank:
+        ids_only = F.broadcast(ids_only)
     rescored = (
-        x.join(F.broadcast(shortlist.select(query_id, index_id)), index_id)
+        x.join(ids_only, index_id)
         .join(q, query_id)
         .select(query_id, index_id, dot(F.col("_qv"), F.col("_xv")).alias("sim"))
     )

@@ -165,6 +165,11 @@ def candidate_pairs_vectorized(
             f"side (saw lengths {sorted(set(widths.tolist()))[:4]}...) — all "
             "vectors must share one dimension"
         )
+    if widths.size and widths[0] == 0:
+        raise ValueError(
+            "candidate_pairs_vectorized: zero-dimension embeddings in the "
+            "index side — nothing to score"
+        )
     ids = id_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     mat = (
         flat.to_numpy(zero_copy_only=False)
@@ -301,7 +306,7 @@ def knn_topk(
     identical to :func:`knn_join_lsh` (approximate — recall tuned by
     ``n_bits``). Past the PQ band, callers with a TRAINED coarse
     codebook (a frozen corpus searched repeatedly) should prefer
-    :func:`..ivfpq.knn_join_ivfpq` directly — its inverted lists ship
+    :func:`.ivfpq.knn_join_ivfpq` directly — its inverted lists ship
     PQ codes through the cell shuffle instead of LSH's raw vectors;
     the facade keeps LSH as its codebook-free default.
 

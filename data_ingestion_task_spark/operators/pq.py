@@ -105,15 +105,19 @@ def pq_encode(
     id_col: str = "neighbor_id",
     vec_col: str = "embedding",
     carry_cols: tuple[str, ...] = (),
+    prenormalized: bool = False,
 ) -> DataFrame:
     """Distributed PQ encoding: ``(id, codes array<int>[, carry...])``
     with ``codes[j]`` = nearest centroid of subspace ``j`` (L2, ties to
     the lowest code — numpy argmin). One narrow Arrow stage, linear in
     N. ``carry_cols`` ride through unchanged (e.g. a coarse-cell id),
-    saving the caller an N-row self-join to reattach them."""
+    saving the caller an N-row self-join to reattach them;
+    ``prenormalized=True`` skips the L2 normalize for callers whose
+    vectors are already unit (saves a full-corpus transform pass)."""
     import numpy as np
 
-    ndf = normalize_embeddings(df, vec_col).select(id_col, vec_col, *carry_cols)
+    ndf = df if prenormalized else normalize_embeddings(df, vec_col)
+    ndf = ndf.select(id_col, vec_col, *carry_cols)
     m, n_codes, d_sub = codebooks.shape
     bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(codebooks))
 

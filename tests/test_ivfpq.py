@@ -105,3 +105,23 @@ def test_ivfpq_lists_shuffle_codes_not_vectors(spark, split):
         child = lines[i + 1] if i + 1 < len(lines) else ""
         assert "_xv" not in child, f"raw index vector rides the cell shuffle: {child}"
     assert cell_exchanges >= 1  # the cell join exists and is a hash shuffle
+
+
+def test_ivfpq_empty_centroid_set_raises(spark, split):
+    q, x = split
+    # all-even ids: no id ≡ 1 (mod 2) — the silent-zero-results trap
+    x2 = x.withColumn("neighbor_id", F.col("neighbor_id") * 2)
+    with pytest.raises(ValueError, match="empty centroid set"):
+        knn_join_ivfpq(x2, q, k=3, centroid_mod=2)
+
+
+def test_ivfpq_shuffle_rerank_matches_broadcast(spark, split):
+    q, x = split
+    books = train_pq_codebooks(x, m=8, n_codes=16)
+    a = knn_join_ivfpq(
+        x, q, k=3, codebooks=books, broadcast_rerank=True
+    ).orderBy("query_id", "rank").collect()
+    b = knn_join_ivfpq(
+        x, q, k=3, codebooks=books, broadcast_rerank=False
+    ).orderBy("query_id", "rank").collect()
+    assert a == b

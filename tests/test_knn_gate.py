@@ -127,3 +127,14 @@ def test_exact_rejects_null_and_ragged_index_vectors(spark):
     )
     with pytest.raises(ValueError, match="ragged"):
         knn_join_exact(ragged, q, k=2)
+
+
+def test_exact_rejects_zero_dim_index_vectors(spark):
+    # uniform zero-width arrays pass the ragged check; they must be a
+    # named error, not a cryptic driver-side reshape failure
+    q = _toy_vectors(spark, 3, id_col="query_id")
+    zero = _toy_vectors(spark, 6, id_col="neighbor_id").withColumn(
+        "embedding", F.expr("cast(array() as array<float>)")
+    )
+    with pytest.raises(ValueError, match="zero-dimension"):
+        knn_join_exact(zero, q, k=2)
