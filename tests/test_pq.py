@@ -149,3 +149,16 @@ def test_pq_train_raises_on_empty_index(spark, split):
     empty_idx = x.filter(F.col("neighbor_id") < 0)
     with pytest.raises(ValueError, match="n_codes"):
         knn_join_pq(empty_idx, q.limit(2), k=3)
+
+
+def test_pq_encode_prenormalized_matches_default(spark, split):
+    # prenormalized=True on already-unit vectors must produce the same
+    # codes as the default normalize path (it only skips the transform)
+    from data_ingestion_task_spark.operators.knn import normalize_embeddings
+
+    _, x = split
+    books = train_pq_codebooks(x, m=8, n_codes=16)
+    xn = normalize_embeddings(x, "embedding")
+    a = pq_encode(x, books).orderBy("neighbor_id").collect()
+    b = pq_encode(xn, books, prenormalized=True).orderBy("neighbor_id").collect()
+    assert a == b
