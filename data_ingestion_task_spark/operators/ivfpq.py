@@ -47,6 +47,85 @@ from .knn import (
 from .pq import pq_encode, train_pq_codebooks
 
 
+def duckdb_ivfpq_sql(
+    codebooks,
+    k: int,
+    centroid_mod: int = 25,
+    n_probe: int = 2,
+    overscan: int = 8,
+    emb_table: str = "emb",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id % 5 = 0",
+) -> str:
+    """DuckDB twin of :func:`knn_join_ivfpq` (same id-residue centroid
+    set, coarse assignment, PQ encode, ADC shortlist, exact re-rank —
+    every tie-break mirrored), with the trained ``codebooks`` inlined
+    as exact float64 literals. Verified BIT-EXACT against the Spark
+    operator at sf0.001 and sf0.01 (``tests/test_ivfpq_oracle.py``):
+    numpy's encode (``csq − 2·sub@books.T``) and einsum ADC reduce
+    sequentially at these subspace widths (d_sub ≤ 8 sits inside
+    numpy's unrolled reduction base case), matching DuckDB's
+    ``list_dot_product`` fold — re-verify the parity test before
+    raising d_sub past ~64, where numpy switches to pairwise
+    summation. Returns rows ``(qid, nid, sim, rank)``."""
+    import numpy as np
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, nc, ds = books.shape
+    vals = ",".join(
+        f"({j},{c},[{','.join(repr(float(v)) for v in books[j][c])}])"
+        for j in range(m)
+        for c in range(nc)
+    )
+    return f"""
+WITH books(j, code, cv) AS (VALUES {vals}),
+raw AS (SELECT {id_col} id, {query_pred} AS is_q,
+               list_transform({vec_col}, v -> CAST(v AS DOUBLE)) v
+        FROM {emb_table}),
+n AS (SELECT id, is_q,
+             CASE WHEN list_dot_product(v,v)=0 THEN v
+                  ELSE list_transform(v, e -> e/sqrt(list_dot_product(v,v))) END v
+      FROM raw),
+xn AS (SELECT id, v FROM n WHERE NOT is_q),
+qn AS (SELECT id, v FROM n WHERE is_q),
+cent AS (SELECT id cid, v cv FROM xn WHERE id % {centroid_mod} = 1),
+asn AS (SELECT id, cid FROM (
+    SELECT x.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.id
+                              ORDER BY list_dot_product(x.v,c.cv) DESC, c.cid ASC) rn
+    FROM xn x CROSS JOIN cent c) WHERE rn=1),
+subs AS (SELECT id, j, v[j*{ds}+1 : j*{ds}+{ds}] sub
+         FROM xn CROSS JOIN (SELECT unnest(generate_series(0,{m - 1})) j)),
+scored AS (SELECT s.id, s.j, b.code,
+                  list_dot_product(b.cv,b.cv) - 2*list_dot_product(s.sub,b.cv) AS d2
+           FROM subs s JOIN books b USING (j)),
+codes AS (SELECT id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY d2 ASC, code ASC) rn
+    FROM scored) WHERE rn=1),
+probes AS (SELECT qid, cid FROM (
+    SELECT q.id qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.id
+                              ORDER BY list_dot_product(q.v,c.cv) DESC, c.cid ASC) rn
+    FROM qn q CROSS JOIN cent c) WHERE rn <= {n_probe}),
+cand AS (SELECT p.qid, a.id nid FROM probes p JOIN asn a ON a.cid = p.cid),
+adc AS (SELECT c.qid, c.nid,
+               SUM(list_dot_product(q.v[k.j*{ds}+1 : k.j*{ds}+{ds}], b.cv)) adc_sim
+        FROM cand c JOIN codes k ON k.id = c.nid
+        JOIN books b ON b.j = k.j AND b.code = k.code
+        JOIN qn q ON q.id = c.qid
+        GROUP BY c.qid, c.nid),
+short AS (SELECT qid, nid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_sim DESC, nid ASC) rn
+    FROM adc) WHERE rn <= {k * overscan}),
+rer AS (SELECT s.qid, s.nid, list_dot_product(q.v, x.v) sim
+        FROM short s JOIN qn q ON q.id = s.qid JOIN xn x ON x.id = s.nid)
+SELECT qid, nid, sim, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rank
+    FROM rer) WHERE rank <= {k}
+"""
+
+
 def knn_join_ivfpq(
     index_df: DataFrame,
     query_df: DataFrame,
