@@ -47,6 +47,36 @@ from .knn import (
 from .pq import pq_encode, train_pq_codebooks
 
 
+def derive_codebooks(dim: int, m: int = 8, n_codes: int = 16, salt: str = "ivfpq"):
+    """md5-derived deterministic PQ codebooks — no training, no
+    SparkSession: component ``i`` of code ``c`` in subspace ``j`` is
+    ``±1/√dim`` by the parity of ``md5("{salt}:{j}:{c}:{i}")`` (the
+    same trick as :func:`..knn.hyperplane`). Entry norms then sit at
+    ``√(d_sub/dim)`` — the scale of an L2-normalized vector's
+    subvectors — so ADC scores are meaningful without data-dependent
+    training. Recall is below trained codebooks (the exact re-rank
+    still surfaces true cosines); the point is a codebook any engine —
+    and a STATIC ``oracle_sql()`` string — can regenerate bit-
+    identically at import time, which is what lets the IVF-PQ pipeline
+    register under the driver's correctness gate."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    s = 1.0 / math.sqrt(dim)
+    out = np.empty((m, n_codes, d_sub), dtype=np.float64)
+    for j in range(m):
+        for c in range(n_codes):
+            for i in range(d_sub):
+                h = hashlib.md5(f"{salt}:{j}:{c}:{i}".encode()).hexdigest()[:15]
+                out[j, c, i] = s if int(h, 16) % 2 == 0 else -s
+    return out
+
+
 def duckdb_ivfpq_sql(
     codebooks,
     k: int,

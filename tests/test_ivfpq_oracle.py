@@ -59,3 +59,43 @@ def test_ivfpq_oracle_rejects_untested_subspace_width():
     # the builder still emits SQL, this pins that the docstring carries
     # the caveat rather than silently promising parity
     assert "pairwise" in duckdb_ivfpq_sql.__doc__
+
+
+def test_ivfpq_derived_codebooks_match_duckdb(spark, sf_dir):
+    # the r7 registration shape: md5-derived codebooks need no
+    # SparkSession, so the oracle string is static — and the full
+    # pipeline must still be bit-exact across engines
+    from data_ingestion_task_spark.operators.ivfpq import derive_codebooks
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    dim = len(x.select("embedding").first()[0])
+    books = derive_codebooks(dim, m=8, n_codes=16)
+    # regeneration is deterministic (no RNG, no data)
+    import numpy as np
+
+    np.testing.assert_array_equal(books, derive_codebooks(dim, m=8, n_codes=16))
+
+    res = knn_join_ivfpq(
+        x, q, k=K, n_probe=N_PROBE, overscan=OVERSCAN,
+        centroid_mod=CMOD, codebooks=books,
+    )
+    sp = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in res.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW emb AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = duckdb_ivfpq_sql(
+        books, k=K, centroid_mod=CMOD, n_probe=N_PROBE, overscan=OVERSCAN
+    )
+    du = sorted((r[0], r[1], r[2], r[3]) for r in con.execute(sql).fetchall())
+    assert len(sp) > 0
+    assert sp == du
