@@ -367,15 +367,64 @@ def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     centroid_id ASC tie-break, shared by :func:`knn_join_ivf`'s
     inverted lists and :func:`train_ivf_codebook`'s Lloyd rounds.
 
-    Shape rationale: the broadcast-join expansion is N×nlist rows; a
-    row_number window would shuffle ALL of them (each dragging the
-    dim-double vector along). The max(struct) aggregate reduces to
-    one row per id map-side (partial aggregation), so the exchange
-    carries N compact rows — measured 5.8× faster at sf0.1, and the
-    gap grows with nlist. ``_xv`` rides as F.first, deterministic
-    because every row in an id group carries the identical vector."""
+    Shape rationale, two generations:
+
+    1. (r4) The broadcast-join expansion is N×nlist rows; a row_number
+       window would shuffle ALL of them (each dragging the dim-double
+       vector along). The max(struct) aggregate reduces to one row per
+       id map-side, so the exchange carries N compact rows — measured
+       5.8× faster than the window at sf0.1.
+    2. (r6) The expansion's N×nlist JVM-side sequential dots became the
+       IVF family's cost center once nlist grows (48k×1900 ≈ 91M
+       interpreted dots at sf3). A BLAS prefilter now computes all
+       sims in one matmul per Arrow batch and emits only centroids
+       within 1e-6 of the row's max (the same provably-lossless margin
+       as :func:`candidate_pairs_vectorized` — ≫ the ~1e-14 float64
+       reduction-order wobble); the exact JVM dot re-scores those ~1
+       survivors per row, and the same max(struct) reduce picks the
+       winner. numpy decides WHICH pairs get scored, never the score,
+       so assignments are bit-identical to the full expansion.
+
+    ``_xv`` rides through the Arrow stage (float64 round-trips
+    exactly) and the reduce's F.first, deterministic because every row
+    in an id group carries the identical vector. An empty centroid set
+    returns an empty frame (as the old broadcast join did) — callers
+    guard/raise where silence would mislead."""
+    import numpy as np
+
+    spark = xn.sparkSession
+    crows = sorted(cent.select("centroid_id", "_cv").collect(), key=lambda r: r[0])
+    schema = f"{id_col} long, _xv array<double>, centroid_id long"
+    if not crows:
+        return spark.createDataFrame([], schema)
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cm = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cm))
+    margin = 1e-6
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bcids, bcm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xm = np.array(list(pdf["_xv"]), dtype=np.float64)
+            sims = xm @ bcm.T
+            keep = sims >= (sims.max(axis=1) - margin)[:, None]
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "_xv": pdf["_xv"].take(rows).tolist(),
+                    "centroid_id": bcids[cols],
+                }
+            )
+
+    cand = xn.select(id_col, "_xv").mapInPandas(gen, schema)
     return (
-        xn.join(F.broadcast(cent), F.lit(True))
+        cand.join(F.broadcast(cent), "centroid_id")
         .select(
             id_col,
             "_xv",
