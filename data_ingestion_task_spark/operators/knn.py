@@ -447,14 +447,57 @@ def _probe_cells(
     query's top-``n_probe`` centroids by (sim DESC, centroid_id ASC).
     Shared by :func:`knn_join_ivf` and ``knn_join_ivfpq``.
 
-    Per-query selection runs via an array sort over the collected
-    (neg_sim, centroid_id) pairs — same single shuffle on query_id as
-    a window version, but the exchange ships one compact nlist-length
-    struct array + one _qv per QUERY instead of nlist copies of the
-    dim-double query vector (~dim× less shuffle volume). sort_array
-    ascending on (neg_sim, centroid_id) ≡ sim DESC, centroid_id ASC."""
+    Same two-generation shape as :func:`_nearest_centroid`: a BLAS
+    prefilter (one matmul per Arrow batch) emits only centroids whose
+    sim can reach the exact top-``n_probe`` (≥ the n_probe-th largest
+    minus the 1e-6 lossless margin); the exact JVM dot re-scores the
+    survivors and the per-query selection runs via an array sort over
+    the collected (neg_sim, centroid_id) pairs — one shuffle on
+    query_id shipping one compact ~n_probe-length struct array + one
+    _qv per QUERY (previously an nlist-length array; before that, a
+    window over nlist copies of the dim-double query vector).
+    sort_array ascending on (neg_sim, centroid_id) ≡ sim DESC,
+    centroid_id ASC — numpy picks WHICH centroids get scored, never
+    the score, so probes are bit-identical to the full expansion."""
+    import numpy as np
+
+    spark = q.sparkSession
+    crows = sorted(cent.select("centroid_id", "_cv").collect(), key=lambda r: r[0])
+    schema = f"{query_id} long, _qv array<double>, centroid_id long"
+    if not crows:
+        return spark.createDataFrame([], schema)
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cm = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cm))
+    margin = 1e-6
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bcids, bcm = bc.value
+        kth = min(n_probe, bcm.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(list(pdf["_qv"]), dtype=np.float64)
+            sims = qm @ bcm.T
+            cut = np.partition(sims, sims.shape[1] - kth, axis=1)[
+                :, sims.shape[1] - kth
+            ]
+            keep = sims >= (cut - margin)[:, None]
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id].to_numpy()[rows],
+                    "_qv": pdf["_qv"].take(rows).tolist(),
+                    "centroid_id": bcids[cols],
+                }
+            )
+
+    cand = q.select(query_id, "_qv").mapInPandas(gen, schema)
     return (
-        q.join(F.broadcast(cent), F.lit(True))
+        cand.join(F.broadcast(cent), "centroid_id")
         .select(
             query_id,
             "_qv",
