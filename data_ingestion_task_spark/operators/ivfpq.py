@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import dot
 from .knn import (
+    _collect_centroids,
     _nearest_centroid,
     _probe_cells,
     normalize_embeddings,
@@ -239,9 +240,11 @@ def knn_join_ivfpq(
         )
     # An empty centroid set makes every downstream join empty — zero
     # neighbors for every query with no signal anything is wrong (e.g.
-    # all-even ids can have no id ≡ 1 mod centroid_mod). One limit(1)
-    # job on the build path names it instead.
-    if cent.limit(1).count() == 0:
+    # all-even ids can have no id ≡ 1 mod centroid_mod). The collect is
+    # the build's one centroid materialization, shared by assignment
+    # and probe selection below.
+    cent_mat = _collect_centroids(cent)
+    if cent_mat[0].size == 0:
         raise ValueError(
             "knn_join_ivfpq: empty centroid set — no index id satisfies "
             f"id % {centroid_mod} == 1 (or the supplied codebook is empty); "
@@ -255,13 +258,13 @@ def knn_join_ivfpq(
 
     # Build: assignment + encoding fused into one narrow pass over the
     # index; smallint codes (nc ≤ 256 by the pq trainer's uint8 gate).
-    assigned = _nearest_centroid(x, cent, index_id)
+    assigned = _nearest_centroid(x, cent, index_id, cent_mat=cent_mat)
     lists = pq_encode(
         assigned, books, id_col=index_id, vec_col="_xv",
         carry_cols=("centroid_id",), prenormalized=True,
     ).select(index_id, "centroid_id", F.col("codes").cast("array<smallint>").alias("codes"))
 
-    probes = _probe_cells(q, cent, query_id, n_probe)
+    probes = _probe_cells(q, cent, query_id, n_probe, cent_mat=cent_mat)
     cand = probes.join(lists, "centroid_id")
 
     bc = spark.sparkContext.broadcast(books)

@@ -361,7 +361,26 @@ def knn_topk(
     return out
 
 
-def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+def _collect_centroids(cent: DataFrame):
+    """Materialize ``(centroid_id, _cv)`` as ``(ids int64[], mat
+    float64[nlist, dim])``, sorted by centroid_id ASC so numpy's
+    first-occurrence argmax/argmin resolves ties to the lowest id —
+    the same tie-break as the exact JVM re-score."""
+    import numpy as np
+
+    crows = sorted(cent.select("centroid_id", "_cv").collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in crows], dtype=np.int64)
+    mat = (
+        np.array([list(r[1]) for r in crows], dtype=np.float64)
+        if crows
+        else np.empty((0, 0), dtype=np.float64)
+    )
+    return ids, mat
+
+
+def _nearest_centroid(
+    xn: DataFrame, cent: DataFrame, id_col: str, cent_mat=None
+) -> DataFrame:
     """``(id, _xv)`` × broadcast ``(centroid_id, _cv)`` →
     ``(id, _xv, centroid_id)``: argmax-cosine assignment with
     centroid_id ASC tie-break, shared by :func:`knn_join_ivf`'s
@@ -389,16 +408,21 @@ def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     exactly) and the reduce's F.first, deterministic because every row
     in an id group carries the identical vector. An empty centroid set
     returns an empty frame (as the old broadcast join did) — callers
-    guard/raise where silence would mislead."""
+    guard/raise where silence would mislead.
+
+    ``cent_mat`` (from :func:`_collect_centroids`) shares one eager
+    centroid collect across this helper and :func:`_probe_cells` —
+    each materialization is a driver job, and per-branch callers like
+    the recall audits pay it once per branch otherwise."""
     import numpy as np
 
     spark = xn.sparkSession
-    crows = sorted(cent.select("centroid_id", "_cv").collect(), key=lambda r: r[0])
+    if cent_mat is None:
+        cent_mat = _collect_centroids(cent)
+    cids, cm = cent_mat
     schema = f"{id_col} long, _xv array<double>, centroid_id long"
-    if not crows:
+    if cids.size == 0:
         return spark.createDataFrame([], schema)
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
-    cm = np.array([list(r[1]) for r in crows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cids, cm))
     margin = 1e-6
 
@@ -440,7 +464,7 @@ def _nearest_centroid(xn: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
 
 
 def _probe_cells(
-    q: DataFrame, cent: DataFrame, query_id: str, n_probe: int
+    q: DataFrame, cent: DataFrame, query_id: str, n_probe: int, cent_mat=None
 ) -> DataFrame:
     """``(query_id, _qv)`` × broadcast ``(centroid_id, _cv)`` →
     ``(query_id, _qv, centroid_id)``, one row per probed cell: each
@@ -462,12 +486,12 @@ def _probe_cells(
     import numpy as np
 
     spark = q.sparkSession
-    crows = sorted(cent.select("centroid_id", "_cv").collect(), key=lambda r: r[0])
+    if cent_mat is None:
+        cent_mat = _collect_centroids(cent)
+    cids, cm = cent_mat
     schema = f"{query_id} long, _qv array<double>, centroid_id long"
-    if not crows:
+    if cids.size == 0:
         return spark.createDataFrame([], schema)
-    cids = np.array([r[0] for r in crows], dtype=np.int64)
-    cm = np.array([list(r[1]) for r in crows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cids, cm))
     margin = 1e-6
 
@@ -626,8 +650,9 @@ def knn_join_ivf(
             F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
         )
 
-    inverted = _nearest_centroid(x, cent, index_id)
-    probes = _probe_cells(q, cent, query_id, n_probe)
+    cent_mat = _collect_centroids(cent)  # one driver job, shared below
+    inverted = _nearest_centroid(x, cent, index_id, cent_mat=cent_mat)
+    probes = _probe_cells(q, cent, query_id, n_probe, cent_mat=cent_mat)
 
     pairs = probes.join(inverted, "centroid_id")
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index_id))
