@@ -464,7 +464,12 @@ def _nearest_centroid(
 
 
 def _probe_cells(
-    q: DataFrame, cent: DataFrame, query_id: str, n_probe: int, cent_mat=None
+    q: DataFrame,
+    cent: DataFrame,
+    query_id: str,
+    n_probe: int,
+    cent_mat=None,
+    emit_rank: bool = False,
 ) -> DataFrame:
     """``(query_id, _qv)`` × broadcast ``(centroid_id, _cv)`` →
     ``(query_id, _qv, centroid_id)``, one row per probed cell: each
@@ -482,7 +487,11 @@ def _probe_cells(
     window over nlist copies of the dim-double query vector).
     sort_array ascending on (neg_sim, centroid_id) ≡ sim DESC,
     centroid_id ASC — numpy picks WHICH centroids get scored, never
-    the score, so probes are bit-identical to the full expansion."""
+    the score, so probes are bit-identical to the full expansion.
+
+    ``emit_rank=True`` adds a ``prn`` column (1-based probe rank) via
+    posexplode — recall audits sweep one max-probe ranking and filter
+    ``prn <= p`` per branch instead of re-probing."""
     import numpy as np
 
     spark = q.sparkSession
@@ -520,7 +529,7 @@ def _probe_cells(
             )
 
     cand = q.select(query_id, "_qv").mapInPandas(gen, schema)
-    return (
+    top = (
         cand.join(F.broadcast(cent), "centroid_id")
         .select(
             query_id,
@@ -535,7 +544,17 @@ def _probe_cells(
             F.first("_qv").alias("_qv"),
             F.slice(F.sort_array(F.collect_list("_p")), 1, n_probe).alias("_top"),
         )
-        .select(query_id, "_qv", F.explode(F.col("_top.centroid_id")).alias("centroid_id"))
+    )
+    if emit_rank:
+        return top.select(
+            query_id,
+            "_qv",
+            F.posexplode(F.col("_top.centroid_id")).alias("pos", "centroid_id"),
+        ).select(
+            query_id, "_qv", "centroid_id", (F.col("pos") + 1).alias("prn")
+        )
+    return top.select(
+        query_id, "_qv", F.explode(F.col("_top.centroid_id")).alias("centroid_id")
     )
 
 

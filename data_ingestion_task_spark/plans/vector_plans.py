@@ -767,53 +767,20 @@ def ivf_recall_audit(
     cent = xn.filter(F.col("neighbor_id") % cent_mod == 1).select(
         F.col("neighbor_id").alias("centroid_id"), F.col("_xv").alias("_cv")
     )
-    # Same max_by / sorted-array shapes as knn_join_ivf (see the scale
-    # rationale there): assignment reduces map-side to one struct per
-    # index row; probe selection ships one compact struct array per
-    # query, with posexplode recovering the probe rank for the
-    # per-branch prn <= n_probe filters.
-    inverted = (
-        xn.join(F.broadcast(cent), F.lit(True))
-        .select(
-            "neighbor_id",
-            "_xv",
-            F.struct(
-                dot(F.col("_xv"), F.col("_cv")).alias("c_sim"),
-                (-F.col("centroid_id")).alias("neg_centroid"),
-            ).alias("_s"),
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.first("_xv").alias("_xv"),
-            (-F.expr("max_by(_s.neg_centroid, _s)")).alias("centroid_id"),
-        )
-        # Referenced by every n_probe branch of the union — persist so
-        # the assignment (a |index|x|codebook| dot-product pass) runs
-        # once, not once per branch.
-        .persist()
-    )
+    # Assignment and probe ranking via the shared BLAS-prefiltered
+    # helpers (operators/knn.py — one matmul per Arrow batch, lossless
+    # 1e-6 margin, exact JVM re-score: bit-identical to the previous
+    # inline broadcast-expansion shapes, which evaluated the full
+    # N×nlist JVM dot product). One centroid collect feeds both.
+    from ..operators.knn import _collect_centroids, _nearest_centroid, _probe_cells
+
+    cent_mat = _collect_centroids(cent)
+    # Referenced by every n_probe branch of the union — persist so the
+    # assignment runs once, not once per branch.
+    inverted = _nearest_centroid(xn, cent, "neighbor_id", cent_mat=cent_mat).persist()
     max_probe = max(_IVF_AUDIT_PROBES)
-    probes = (
-        qn.join(F.broadcast(cent), F.lit(True))
-        .select(
-            "query_id",
-            "_qv",
-            F.struct(
-                (-dot(F.col("_qv"), F.col("_cv"))).alias("neg_sim"),
-                F.col("centroid_id").alias("centroid_id"),
-            ).alias("_p"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.first("_qv").alias("_qv"),
-            F.slice(F.sort_array(F.collect_list("_p")), 1, max_probe).alias("_top"),
-        )
-        .select(
-            "query_id",
-            "_qv",
-            F.posexplode(F.col("_top.centroid_id")).alias("pos", "centroid_id"),
-        )
-        .withColumn("prn", F.col("pos") + 1)
+    probes = _probe_cells(
+        qn, cent, "query_id", max_probe, cent_mat=cent_mat, emit_rank=True
     )
 
     branch_frames = []
