@@ -250,7 +250,9 @@ def load_all() -> None:
         normalize_plans,
         pretrain_plans,
         refine_plans,
-        relational_plans,
+        relational_agg_plans,
+        relational_join_plans,
+        relational_sample_plans,
         retrieval_plans,
         skew_plans,
         text_plans,
