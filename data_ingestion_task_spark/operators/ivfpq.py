@@ -59,7 +59,16 @@ def derive_codebooks(dim: int, m: int = 8, n_codes: int = 16, salt: str = "ivfpq
     still surfaces true cosines); the point is a codebook any engine —
     and a STATIC ``oracle_sql()`` string — can regenerate bit-
     identically at import time, which is what lets the IVF-PQ pipeline
-    register under the driver's correctness gate."""
+    register under the driver's correctness gate.
+
+    Within a subspace the draw is WITHOUT replacement: a code whose
+    sign pattern collides with an earlier code in the same subspace is
+    deterministically re-drawn with an attempt counter appended to its
+    md5 key (ADVICE r6 #5 — 16 unguarded draws from ``2^d_sub``
+    patterns collide in some subspace with high probability at
+    ``d_sub=8``, silently wasting codebook capacity). Non-colliding
+    codes keep the attempt-0 values, so the fix only perturbs the
+    entries that were duplicates."""
     import hashlib
     import math
 
@@ -68,20 +77,41 @@ def derive_codebooks(dim: int, m: int = 8, n_codes: int = 16, salt: str = "ivfpq
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d_sub = dim // m
+    if n_codes > 2 ** d_sub:
+        raise ValueError(
+            f"n_codes={n_codes} distinct sign patterns impossible in a "
+            f"{d_sub}-dim subspace (only {2 ** d_sub} exist)"
+        )
     s = 1.0 / math.sqrt(dim)
     out = np.empty((m, n_codes, d_sub), dtype=np.float64)
     for j in range(m):
+        seen: set[tuple[int, ...]] = set()
         for c in range(n_codes):
-            for i in range(d_sub):
-                h = hashlib.md5(f"{salt}:{j}:{c}:{i}".encode()).hexdigest()[:15]
-                out[j, c, i] = s if int(h, 16) % 2 == 0 else -s
+            attempt = 0
+            while True:
+                sfx = "" if attempt == 0 else f":r{attempt}"
+                bits = tuple(
+                    int(
+                        hashlib.md5(
+                            f"{salt}:{j}:{c}:{i}{sfx}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    % 2
+                    for i in range(d_sub)
+                )
+                if bits not in seen:
+                    break
+                attempt += 1
+            seen.add(bits)
+            out[j, c] = [s if b == 0 else -s for b in bits]
     return out
 
 
 def duckdb_ivfpq_sql(
     codebooks,
     k: int,
-    centroid_mod: int = 25,
+    centroid_mod: int | str = 25,
     n_probe: int = 2,
     overscan: int = 8,
     emb_table: str = "emb",
@@ -99,7 +129,13 @@ def duckdb_ivfpq_sql(
     numpy's unrolled reduction base case), matching DuckDB's
     ``list_dot_product`` fold — re-verify the parity test before
     raising d_sub past ~64, where numpy switches to pairwise
-    summation. Returns rows ``(qid, nid, sim, rank)``."""
+    summation. Returns rows ``(qid, nid, sim, rank)``.
+
+    ``centroid_mod="isqrt"`` emits a ``cmod`` CTE computing
+    ``GREATEST(25, n // isqrt(n))`` over the index side (the exact
+    integer-sqrt idiom shared with ``ann_ivf_topk``'s oracle), so the
+    static string stays correct while nlist ≈ √N tracks the data —
+    the registration shape."""
     import numpy as np
 
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
@@ -109,6 +145,18 @@ def duckdb_ivfpq_sql(
         for j in range(m)
         for c in range(nc)
     )
+    if centroid_mod == "isqrt":
+        cmod_cte = """
+cmod AS (SELECT GREATEST(25, n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1
+                                             WHEN s0*s0 > n THEN -1
+                                             ELSE 0 END)) AS m
+         FROM (SELECT COUNT(*) AS n,
+                      CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+               FROM xn)),"""
+        mod_expr = "(SELECT m FROM cmod)"
+    else:
+        cmod_cte = ""
+        mod_expr = str(int(centroid_mod))
     return f"""
 WITH books(j, code, cv) AS (VALUES {vals}),
 raw AS (SELECT {id_col} id, {query_pred} AS is_q,
@@ -119,8 +167,8 @@ n AS (SELECT id, is_q,
                   ELSE list_transform(v, e -> e/sqrt(list_dot_product(v,v))) END v
       FROM raw),
 xn AS (SELECT id, v FROM n WHERE NOT is_q),
-qn AS (SELECT id, v FROM n WHERE is_q),
-cent AS (SELECT id cid, v cv FROM xn WHERE id % {centroid_mod} = 1),
+qn AS (SELECT id, v FROM n WHERE is_q),{cmod_cte}
+cent AS (SELECT id cid, v cv FROM xn WHERE id % {mod_expr} = 1),
 asn AS (SELECT id, cid FROM (
     SELECT x.id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.id

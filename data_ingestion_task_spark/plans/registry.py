@@ -245,6 +245,7 @@ def load_all() -> None:
         events_plans,
         extract_plans,
         interval_plans,
+        ivfpq_plans,
         ml_plans,
         multimodal_plans,
         normalize_plans,
