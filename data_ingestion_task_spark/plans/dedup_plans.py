@@ -363,6 +363,79 @@ _D_VNORM = (
 )
 
 
+def embedding_near_dup_pairs(
+    e: DataFrame,
+    threshold: float,
+    dim: int,
+    method: str = "exact",
+    n_bits: int = 4,
+    max_index_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs ``(vec_a < vec_b, sim > threshold)``
+    with an EXPLICIT scale route (``e`` must be pre-L2-normalized):
+
+    - ``method="exact"`` — BLAS-prefiltered broadcast candidates
+      (``candidate_pairs_vectorized``, lossless threshold−1e-6 margin)
+      + exact JVM re-score: bit-identical to the naive all-pairs plan.
+      Gated: above ``max_index_rows`` (default 1M) it raises
+      :class:`~..operators.knn.BroadcastIndexTooLarge` rather than OOM
+      the driver.
+    - ``method="lsh"`` — the above-cap branch: candidates are the
+      hyperplane-LSH bucket self-join (equi-join on a 2^n_bits key, no
+      broadcast, shuffle O(N)); each candidate gets the SAME exact JVM
+      dot + threshold predicate, so precision is 1.0 and only recall
+      is approximate (cross-bucket pairs are missed; fewer bits →
+      bigger buckets → higher recall at more candidate cost).
+
+    The route is a caller decision, never a silent data-size fallback:
+    the two methods return different answer SETS, so flipping between
+    them must be visible at the call site."""
+    from ..functions.vectors import dot
+    from ..operators.knn import candidate_pairs_vectorized, lsh_signature
+
+    if method == "exact":
+        kwargs = {} if max_index_rows is None else {"max_index_rows": max_index_rows}
+        cand = candidate_pairs_vectorized(
+            e.select(F.col(id_col).alias("vec_b"), vec_col),
+            e.select(F.col(id_col).alias("vec_a"), vec_col),
+            query_id="vec_a",
+            index_id="vec_b",
+            threshold=threshold,
+            upper_triangle=True,
+            **kwargs,
+        )
+    elif method == "lsh":
+        sig = e.select(
+            F.col(id_col),
+            lsh_signature(F.col(vec_col), n_bits, dim).alias("bucket"),
+        )
+        cand = (
+            sig.select(F.col(id_col).alias("vec_a"), "bucket")
+            .join(sig.select(F.col(id_col).alias("vec_b"), "bucket"), "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+
+    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    sim = dot(F.col("va"), F.col("vb"))
+    joined = cand.join(a, "vec_a")
+    # Exact mode's candidate set is ~|answer|-sized, so broadcasting the
+    # b side keeps the re-score shuffle-free; the LSH branch joins two
+    # distributed sides on ids instead (nothing is broadcast-sized).
+    joined = joined.join(F.broadcast(b) if method == "exact" else b, "vec_b")
+    return (
+        joined.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+        .select("vec_a", "vec_b", F.round("sim", 9).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""
@@ -380,32 +453,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast matrix (threshold − 1e-6 margin → provably lossless
     prefilter); each candidate is then re-scored with the JVM-side
     sequential dot product, so output is bit-identical to the naive
-    all-pairs plan while scoring only ~|answer| pairs. Beyond
-    broadcast size the same predicate runs over ``knn_join_lsh``
-    bucket candidates."""
-    from ..functions.vectors import dot
-    from ..operators.knn import candidate_pairs_vectorized, normalize_embeddings
+    all-pairs plan while scoring only ~|answer| pairs. Above the 1M-row
+    broadcast cap this EXACT route raises ``BroadcastIndexTooLarge``
+    (fail-loud, never silent degradation); callers past the cap choose
+    :func:`embedding_near_dup_pairs` with ``method="lsh"`` — same
+    exact predicate over LSH bucket candidates, recall documented < 1
+    (tests/test_dedup.py exercises the >cap path both ways)."""
+    from ..operators.knn import normalize_embeddings
 
     e = normalize_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cand = candidate_pairs_vectorized(
-        e.select(F.col("vec_id").alias("vec_b"), "embedding"),
-        e.select(F.col("vec_id").alias("vec_a"), "embedding"),
-        query_id="vec_a",
-        index_id="vec_b",
-        threshold=0.35,
-        upper_triangle=True,
-    )
-    sim = dot(F.col("va"), F.col("vb"))
-    return (
-        cand.join(a, "vec_a")
-        .join(F.broadcast(b), "vec_b")
-        .select("vec_a", "vec_b", sim.alias("sim"))
-        .filter(F.col("sim") > 0.35)
-        .select("vec_a", "vec_b", F.round("sim", 9).alias("sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return embedding_near_dup_pairs(e, threshold=0.35, dim=64, method="exact")
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,7 @@ _D_VAL_DEC = "CAST(round(value, 6) AS DECIMAL(18,6))"
              CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
              {_D_VAL_DEC} AS v
       FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT day, hour,
            COUNT(*) AS n_events,
@@ -97,12 +98,15 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the one shuffle. The level tag is derived from the NULLed
     keys (not ``grouping_id()``) so the DuckDB twin computes it with
     the identical CASE — engine-portable, and 3 = grand total keeps
-    the same bit values Spark's grouping_id would give.
+    the same bit values Spark's grouping_id would give. Because the
+    tag comes from NULLed keys, NULL timestamps are filtered BEFORE
+    the rollup (ADVICE r6 #4): a day=NULL/hour=NULL base group would
+    otherwise be tagged as — and collide with — the grand-total row.
 
     In production the three grains land in a partitioned materialized
     table and refresh incrementally per closed day-partition; the
     registered query is the per-refresh computation."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     b = e.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.hour("ts").cast("bigint").alias("hour"),

@@ -90,3 +90,27 @@ def test_bpe_pair_counts_by_hand(spark, tmp_path_factory):
     q = registry.queries_dict()["bpe_pair_merge"]
     got = {r.pair: r.pair_count for r in q(spark, out).collect()}
     assert got == {"ab": 4, "ba": 4}
+
+
+def test_multires_rollup_excludes_null_ts(spark, tmp_path_factory):
+    # ADVICE r6 #4: a NULL-ts base group (day=NULL, hour=NULL) would be
+    # tagged lvl=3 and collide with the grand-total row; the rollup
+    # must filter NULL ts first, so totals count only timestamped rows.
+    t0 = dt.datetime(2024, 1, 1, 1, 30, 0, tzinfo=UTC)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 11, "click", 2.0, "{}"),
+        (3, None, 12, "click", 100.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = str(tmp_path_factory.mktemp("craftednull") / "sf")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    q = registry.queries_dict()["events_multires_rollup"]
+    res = q(spark, out).collect()
+    totals = [r for r in res if r.lvl == 3]
+    assert len(totals) == 1, f"grand-total collision: {totals}"
+    assert totals[0].n_events == 2
+    assert totals[0].sum_value == pytest.approx(3.0)
