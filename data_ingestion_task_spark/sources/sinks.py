@@ -40,29 +40,48 @@ def _excel_engine() -> str | None:
     return None
 
 
+def _norm_cell(v: Any) -> Any:
+    """Canonical Excel cell value shared by BOTH write paths (ADVICE
+    r6 #2: with an engine installed pandas used to write datetime /
+    Decimal natively while the stdlib codec stringified them — same
+    call, differently-typed files per runtime). Decimal → float,
+    date/datetime → ISO string, everywhere."""
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
 def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
     """``to_excel('extraction_validation_results.xlsx')``
     (ext_3_4.py:35): collect a SMALL result DataFrame to the driver and
     write one xlsx sheet. Returns the row count. Refuses more than
     ``EXCEL_ROW_LIMIT`` rows — big data belongs in parquet.
 
-    With openpyxl/xlsxwriter installed, pandas writes the file (full
-    dtype support); otherwise the pure-stdlib OOXML codec
-    (:mod:`.xlsx_lite`) writes str/number/bool/None cells — enough for
-    every result table the engine emits."""
+    Cell values are normalized (:func:`_norm_cell`) BEFORE dispatching
+    to either writer, so the file's cell types are identical whether
+    pandas+openpyxl/xlsxwriter or the pure-stdlib OOXML codec
+    (:mod:`.xlsx_lite`) produced it: str/number/bool/None cells, with
+    Decimal as float and date/datetime as ISO strings."""
     n = df.limit(EXCEL_ROW_LIMIT + 1).count()
     if n > EXCEL_ROW_LIMIT:
         raise ValueError(
             f"write_excel got >{EXCEL_ROW_LIMIT} rows; Excel is for small "
             "result sets — write parquet instead"
         )
+    rows = [[_norm_cell(row[c]) for c in df.columns] for row in df.collect()]
     if _excel_engine() is not None:
-        pdf = df.toPandas()
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=df.columns)
         pdf.to_excel(path, sheet_name=sheet_name, index=False)
         return len(pdf)
     from .xlsx_lite import write_xlsx
 
-    rows = [[row[c] for c in df.columns] for row in df.collect()]
     write_xlsx(path, df.columns, rows, sheet_name=sheet_name)
     return len(rows)
 
@@ -84,7 +103,47 @@ def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> Dat
 
     header, rows = read_xlsx(path, sheet=sheet_name)
     cols = [str(c).strip().lower() for c in header]
-    return spark.createDataFrame(rows, schema=cols)
+    return spark.createDataFrame(rows, schema=_infer_schema(cols, rows))
+
+
+def _infer_schema(cols: list[str], rows: list[list[Any]]):
+    """Explicit driver-side schema for the engine-less read path
+    (ADVICE r6 #1: name-only ``createDataFrame(rows, schema=cols)``
+    raises on an all-None column — a blank Excel column — where the
+    pandas path yields NaN float64). Per column: bool → boolean,
+    all-int → long, numeric mix → double, anything else → string
+    (stringified); all-None/blank → double, MATCHING pandas' float64
+    NaN dtype for empty columns."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    fields = []
+    for i, name in enumerate(cols):
+        seen = {type(r[i]) for r in rows if r[i] is not None}
+        if not seen:
+            dt = DoubleType()  # blank column == pandas float64-of-NaN
+        elif seen == {bool}:
+            dt = BooleanType()
+        elif seen == {int}:
+            dt = LongType()
+        elif seen <= {int, float}:
+            dt = DoubleType()
+            for r in rows:
+                if r[i] is not None:
+                    r[i] = float(r[i])
+        else:
+            dt = StringType()
+            for r in rows:
+                if r[i] is not None and not isinstance(r[i], str):
+                    r[i] = str(r[i])
+        fields.append(StructField(name, dt, nullable=True))
+    return StructType(fields)
 
 
 def _json_safe(v: Any) -> Any:

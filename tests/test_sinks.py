@@ -134,3 +134,51 @@ def test_csv_sink_round_trip(spark, tmp_path):
     back = spark.read.option("header", True).schema(df.schema).csv(out)
     assert back.count() == 2
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_read_excel_blank_column_matches_pandas_dtype(spark, tmp_path):
+    # ADVICE r6 #1: an all-None (blank) column used to make the
+    # engine-less path raise in type inference; now it comes back as a
+    # nullable double column — the same float64-of-NaN shape the
+    # pandas path gives a blank column.
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, blank string"
+    )
+    path = str(tmp_path / "blank.xlsx")
+    write_excel(df, path)
+    back = read_excel(spark, path)
+    assert dict(back.dtypes) == {"id": "bigint", "blank": "double"}
+    assert [r["blank"] for r in back.collect()] == [None, None]
+
+
+def test_read_excel_mixed_column_stringifies(spark, tmp_path):
+    from data_ingestion_task_spark.sources.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "mixed.xlsx")
+    write_xlsx(path, ["k", "v"], [[1, "a"], [2, 3], [3, None]])
+    if HAS_EXCEL:
+        pytest.skip("engine-less inference path only")
+    back = read_excel(spark, path)
+    assert dict(back.dtypes) == {"k": "bigint", "v": "string"}
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (1, "a"), (2, "3"), (3, None),
+    ]
+
+
+def test_write_excel_normalizes_decimal_and_datetime(spark, tmp_path):
+    # ADVICE r6 #2: both write paths emit the SAME cell types — Decimal
+    # as float, timestamp as ISO string — so a file round-trips
+    # identically whether or not an Excel engine is installed.
+    df = spark.createDataFrame(
+        [(1,)], "id bigint"
+    ).select(
+        "id",
+        F.lit("7.25").cast("decimal(18,2)").alias("money"),
+        F.to_timestamp(F.lit("2024-03-01 12:30:00")).alias("when"),
+    )
+    path = str(tmp_path / "typed.xlsx")
+    write_excel(df, path)
+    back = read_excel(spark, path)
+    row = back.collect()[0]
+    assert row["money"] == 7.25 and isinstance(row["money"], float)
+    assert isinstance(row["when"], str) and row["when"].startswith("2024-03-01T12:30:00")
