@@ -250,6 +250,7 @@ def load_all() -> None:
         multimodal_plans,
         normalize_plans,
         pretrain_plans,
+        quality_plans,
         refine_plans,
         relational_agg_plans,
         relational_join_plans,
