@@ -256,6 +256,7 @@ def load_all() -> None:
         relational_join_plans,
         relational_sample_plans,
         retrieval_plans,
+        selection_plans,
         skew_plans,
         text_plans,
         upsert_plans,

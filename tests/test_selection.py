@@ -1,0 +1,118 @@
+"""Invariant tests for the corpus-selection queries (selection_plans):
+properties beyond the DuckDB parity check — budget bound + maximality,
+prefix-closure of the quality ordering, per-language cap exactness, and
+domain-cap accounting conservation."""
+
+from pyspark.sql import functions as F
+
+from data_ingestion_task_spark.plans._text_shared import spark_norm_words
+from data_ingestion_task_spark.plans.selection_plans import (
+    _BUDGET_DEN,
+    _BUDGET_NUM,
+    _DOMAIN_CAP,
+    _LANG_CAP,
+    domain_frequency_cap,
+    language_balanced_sample,
+    token_budget_selection,
+)
+from data_ingestion_task_spark.sources.tables import load_table
+
+
+def _corpus_tokens(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(spark_norm_words("text")).cast("bigint").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+
+
+def test_token_budget_bound_and_maximal(spark, sf_dir):
+    rows = token_budget_selection(spark, sf_dir).collect()
+    assert rows, "empty selection"
+    total = _corpus_tokens(spark, sf_dir)
+    picked = sum(r["n_tok"] for r in rows)
+    # budget bound: 10 * picked <= 4 * total, exactly as specified
+    assert _BUDGET_DEN * picked <= _BUDGET_NUM * total
+    # maximality: the next doc in (score desc, doc_id) order would blow
+    # the budget. Reconstruct the full ordering and find the first
+    # excluded doc.
+    selected = {r["doc_id"] for r in rows}
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(spark_norm_words("text")).cast("bigint").alias("n_tok"),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(spark_norm_words("text")),
+                    F.array(
+                        *[F.lit(s) for s in ["the", "and", "of", "to", "a", "in", "is"]]
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("score"),
+        )
+        .collect()
+    )
+    ordering = sorted(d, key=lambda r: (-r["score"], r["doc_id"]))
+    excluded = [r for r in ordering if r["doc_id"] not in selected]
+    if excluded:
+        nxt = excluded[0]
+        assert _BUDGET_DEN * (picked + nxt["n_tok"]) > _BUDGET_NUM * total
+        # prefix-closure: everything ordered before the first excluded
+        # doc is selected; everything after it is excluded
+        cut = ordering.index(nxt)
+        assert all(r["doc_id"] in selected for r in ordering[:cut])
+        assert all(r["doc_id"] not in selected for r in ordering[cut:])
+
+
+def test_language_cap_exact(spark, sf_dir):
+    out = language_balanced_sample(spark, sf_dir)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    truth = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for lang, n in truth.items():
+        assert got[lang] == min(n, _LANG_CAP)
+    # ranks are dense 1..n within each language, and deterministic
+    rows = out.collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    for rks in by_lang.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    again = {(r["doc_id"], r["lang"], r["rk"]) for r in language_balanced_sample(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["lang"], r["rk"]) for r in rows}
+
+
+def test_domain_cap_accounting_conserved(spark, sf_dir):
+    rows = domain_frequency_cap(spark, sf_dir).collect()
+    truth = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(truth)
+    doc_sources = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    for r in rows:
+        assert r["n_docs"] == truth[r["source"]]
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_kept"] == min(r["n_docs"], _DOMAIN_CAP)
+        assert r["cap_hit"] == (r["n_docs"] > _DOMAIN_CAP)
+        # the rank-1 survivor really belongs to this source
+        assert doc_sources[r["first_kept_doc"]] == r["source"]
