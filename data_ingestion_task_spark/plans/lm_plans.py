@@ -1,0 +1,209 @@
+"""Corpus-statistics language-model scoring: the lightweight LM signals
+quality pipelines use before any neural model exists (sibling of
+plans/quality_plans.py's rule filters and DSIR weights).
+
+- ``char_trigram_perplexity`` — CCNet-style LM quality proxy (Wenzek et
+  al. 2020 score documents with a KenLM perplexity; the portable
+  stand-in is a corpus-trained character-trigram model): per-doc mean
+  negative log-likelihood under the corpus's own trigram distribution.
+  Low = looks like the corpus; high = outlier/noise. Head/tail
+  perplexity filtering is exactly a range filter on this column.
+- ``tfidf_topk_terms`` — per-document top-3 TF-IDF keywords: the
+  classic keyword-extraction operator (and the non-query-driven
+  complement of ``bm25_retrieval``, which scores documents against a
+  query table).
+
+Scale notes (100 TB):
+- trigram model: the vocabulary is bounded by the alphabet, not the
+  corpus — ≤ 37³ ≈ 50k trigrams over [a-z0-9 space] — so the rate
+  table is broadcast-sized FOREVER; the only corpus-scale exchanges
+  are the trigram count group-by (map-side combined, 3-char keys) and
+  the per-doc mean (map-side combined on doc_id). Nothing quadratic.
+- tf-idf: document-frequency table is vocabulary-sized → broadcast
+  join back onto the (doc_id, term, tf) grain; the top-k window
+  partitions by doc_id. At web scale, hash terms to int64 before the
+  df group-by (the corpus_plans repetition-profile lesson) — kept as
+  raw 3-char/short-word strings here because the key is already
+  smaller than the hash.
+
+Parity armor (the dsir_importance_weights pattern, certified r6): every
+``ln()`` argument is a ratio of exactly-representable integers cast to
+double for ONE identical IEEE division per engine; each log value is
+rounded to 6 dp and cast DECIMAL(18,6) BEFORE any per-doc sum, so
+summation order cannot perturb the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import normalized_for_fingerprint
+from ..sources.tables import load_table
+from ._text_shared import D_NORM_WORDS, spark_norm_words
+from .registry import query
+
+#: Top-k terms per document for tfidf_topk_terms.
+_TFIDF_K = 3
+
+_D_NORM_TEXT = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')"
+)
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram perplexity proxy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "char_trigram_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_NORM_TEXT} AS txt FROM documents
+      WHERE len({_D_NORM_TEXT}) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, substr(txt, i, 3) AS tri
+      FROM (SELECT doc_id, txt,
+                   unnest(generate_series(1, len(txt) - 2)) AS i
+            FROM t)
+    ),
+    c AS (SELECT tri, COUNT(*) AS cnt FROM tri GROUP BY tri),
+    tot AS (SELECT SUM(cnt) AS n FROM c),
+    rate AS (
+      SELECT c.tri,
+             CAST(round(-ln(CAST(c.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM c CROSS JOIN tot
+    )
+    SELECT tri.doc_id,
+           COUNT(*) AS n_tri,
+           CAST(round(CAST(SUM(rate.nll) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS avg_nll
+    FROM tri JOIN rate USING (tri)
+    GROUP BY tri.doc_id
+    ORDER BY doc_id
+    """,
+)
+def char_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    character-trigram unigram model (the portable CCNet/KenLM quality
+    proxy): ``avg_nll = -mean_i ln(count(tri_i) / total_trigrams)``.
+    ``exp(avg_nll)`` is the perplexity; filtering its head/tail is the
+    CCNet quality split. The trigram rate table is alphabet-bounded
+    (≤ 37³ rows at any corpus size) and broadcast back onto the
+    (doc, trigram, count) grain; both corpus-scale aggregations are
+    map-side combined. Docs shorter than one trigram are excluded (no
+    model support).
+
+    Implementation notes: overlapping trigrams come from ONE JVM regex
+    pass (zero-width lookahead ``(?=(.{3})).``) — 3× faster than an
+    interpreted higher-order ``transform``+``substring`` chain
+    (measured at sf0.1); the model and the per-doc score both derive
+    from the persisted (doc_id, tri, k) grain so the explode runs once
+    — the oracle states instance-grain sums, which equal these
+    count-grain sums exactly because the per-trigram nll is DECIMAL.
+    Caller contract: the persisted grain rides out as
+    ``_cached_deps`` (release via ``api.release``)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalized_for_fingerprint(F.col("text")).alias("txt"))
+        .filter(F.length("txt") >= 3)
+    )
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit("(?=(.{3}))."), 1)
+        ).alias("tri"),
+    )
+    a = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("k")).persist()
+    c = a.groupBy("tri").agg(F.sum("k").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    rate = c.crossJoin(F.broadcast(tot)).select(
+        "tri",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    out = (
+        a.join(F.broadcast(rate), "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tri"),
+            F.round(
+                F.sum(F.col("k") * F.col("nll")).cast("double") / F.sum("k"), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+    out._cached_deps = [a]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_topk_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(ws) AS term
+      FROM (SELECT doc_id, {D_NORM_WORDS} AS ws FROM documents)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * CAST(round(ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                   / CAST(df.df + 1 AS DOUBLE)), 6)
+                          AS DECIMAL(18,6)) AS sc
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY sc DESC, term) AS rk
+      FROM s
+    )
+    SELECT doc_id, term, tf, CAST(sc AS DOUBLE) AS tfidf, rk
+    FROM r WHERE rk <= {_TFIDF_K}
+    ORDER BY doc_id, rk
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: ``tf · round(ln((N+1)/(df+1)),
+    6)`` with the idf held DECIMAL so the ranking key is exact in both
+    engines (ties broken by term asc). The document-frequency table is
+    vocabulary-sized and broadcast; the only document-grain window
+    partitions by doc_id."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", spark_norm_words("text").alias("ws")
+    )
+    w = d.select("doc_id", F.explode("ws").alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    idf = df.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf"),
+    )
+    s = tf.join(F.broadcast(idf), "term").withColumn("sc", F.col("tf") * F.col("idf"))
+    rw = Window.partitionBy("doc_id").orderBy(F.desc("sc"), F.asc("term"))
+    return (
+        s.withColumn("rk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", F.col("sc").cast("double").alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )

@@ -240,12 +240,14 @@ def load_all() -> None:
         corpus_plans,
         dedup_plans,
         doctype_plans,
+        embedding_curation_plans,
         encode_plans,
         eval_plans,
         events_plans,
         extract_plans,
         interval_plans,
         ivfpq_plans,
+        lm_plans,
         ml_plans,
         multimodal_plans,
         normalize_plans,
