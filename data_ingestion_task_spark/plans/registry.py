@@ -261,9 +261,11 @@ def load_all() -> None:
         selection_plans,
         skew_plans,
         text_plans,
+        tpch_plans,
         upsert_plans,
         vector_plans,
         vocab_plans,
+        window_plans,
     )
 
     _LOADED = True
