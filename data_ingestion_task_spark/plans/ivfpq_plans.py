@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ivfpq import derive_codebooks, duckdb_ivfpq_sql, knn_join_ivfpq
-from ._vector_shared import DIM, _split
+from ..operators.knn import knn_join_exact
+from ._vector_shared import DIM, _D_VNORM, _split
 from .registry import query
 
 _K, _N_PROBE, _OVERSCAN = 3, 2, 8
@@ -78,3 +79,119 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("sim", 9).alias("sim"),
     ).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Overscan recall audit — the IVF-PQ member of the audit trio
+# (ann_recall_audit sweeps LSH bits, ivf_recall_audit sweeps n_probe)
+# ---------------------------------------------------------------------------
+
+#: ADC-shortlist widths to sweep (k·overscan candidates re-ranked).
+_AUDIT_OVERSCANS = (1, 4, 8)
+#: 1-in-N deterministic query sample for the exact baseline — the same
+#: knob (and the same value) as the LSH/IVF audits, so the three
+#: tables are directly comparable.
+_AUDIT_SAMPLE_MOD = 50
+
+
+def _d_ivfpq_branch(o: int) -> str:
+    """One overscan setting of the audit as a DuckDB SELECT."""
+    return f"""
+    SELECT {o} AS overscan,
+           (SELECT COUNT(*) FROM q0) AS n_queries,
+           CAST((SELECT COUNT(*) FROM pq{o}) AS DOUBLE)
+             / (SELECT COUNT(*) FROM q0) AS avg_returned,
+           CAST((SELECT COUNT(*) FROM pq{o} p
+                 JOIN ex ON ex.query_id = p.qid AND ex.neighbor_id = p.nid)
+                AS DOUBLE)
+             / ({_K} * (SELECT COUNT(*) FROM q0)) AS recall_at_{_K}
+    """
+
+
+@query(
+    "ivfpq_recall_audit",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS query_id, {_D_VNORM} AS v FROM embeddings
+      WHERE vec_id % {_AUDIT_SAMPLE_MOD} = 0
+    ),
+    x0 AS (
+      SELECT vec_id AS neighbor_id, {_D_VNORM} AS v FROM embeddings
+      WHERE vec_id % 5 <> 0
+    ),
+    ep AS (SELECT q0.query_id, x0.neighbor_id,
+                  list_dot_product(q0.v, x0.v) AS sim
+           FROM q0 CROSS JOIN x0),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM ep) WHERE rnk <= {_K}
+    ),
+    {",".join(
+        f'''pq{o} AS (SELECT qid, nid FROM ({duckdb_ivfpq_sql(
+            _BOOKS, k=_K, centroid_mod="isqrt", n_probe=_N_PROBE,
+            overscan=o, emb_table="embeddings",
+        )}) WHERE qid % {_AUDIT_SAMPLE_MOD} = 0)'''
+        for o in _AUDIT_OVERSCANS
+    )}
+    {" UNION ALL ".join(_d_ivfpq_branch(o) for o in _AUDIT_OVERSCANS)}
+    ORDER BY overscan
+    """,
+)
+def ivfpq_recall_audit(
+    spark: SparkSession, sf_dir: str, *, sample_mod: int = _AUDIT_SAMPLE_MOD
+) -> DataFrame:
+    """The overscan tuning table for the IVF-PQ path — completes the
+    audit trio (LSH sweeps n_bits, IVF sweeps n_probe; IVF-PQ's own
+    knob is the ADC shortlist width): for each overscan, recall@3 of
+    the re-ranked top-k against the exact broadcast search over the
+    same deterministic 1-in-50 query sample, plus the average rows
+    actually returned per query (thin cells can return < k).
+
+    The swept operator is treated as the black box under audit — each
+    branch calls ``knn_join_ivfpq`` whole (overscan cuts the shortlist
+    BEFORE the exact re-rank, so a wider branch's output cannot be
+    derived by filtering a narrower one; the shared-prefix trick the
+    IVF audit uses does not apply). Each branch re-runs the
+    build/encode stage, which is fine for an audit run on a sample and
+    wrong for production tuning on a frozen index — there, build the
+    inverted lists once and sweep the probe/rerank stages (the
+    operator's stage docs show the cut points). Query filtering after
+    the fact equals querying the sample directly because every IVF-PQ
+    stage past the build is per-query independent."""
+    q, x = _split(spark, sf_dir)
+    q = q.filter(F.col("query_id") % sample_mod == 0).select("query_id", "embedding")
+    x = x.select("neighbor_id", "embedding")
+    n = x.count()
+    cent_mod = max(25, n // isqrt(n)) if n else 25
+    exact = (
+        knn_join_exact(x, q, k=_K)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+        .persist()
+    )
+    exact.count()
+    nq = q.count()
+    out_rows = []
+    for o in _AUDIT_OVERSCANS:
+        res = knn_join_ivfpq(
+            x, q, k=_K, centroid_mod=cent_mod, n_probe=_N_PROBE,
+            overscan=o, codebooks=_BOOKS,
+        )
+        agg = (
+            res.join(exact, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").alias("tot"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits"),
+            )
+            .collect()[0]
+        )
+        out_rows.append(
+            (o, nq, agg["tot"] / nq, agg["hits"] / (_K * nq))
+        )
+    exact.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        f"overscan bigint, n_queries bigint, avg_returned double, recall_at_{_K} double",
+    ).orderBy("overscan")

@@ -125,3 +125,21 @@ def test_ivfpq_shuffle_rerank_matches_broadcast(spark, split):
         x, q, k=3, codebooks=books, broadcast_rerank=False
     ).orderBy("query_id", "rank").collect()
     assert a == b
+
+
+def test_ivfpq_recall_audit_monotone(spark, sf_dir):
+    from data_ingestion_task_spark.plans.ivfpq_plans import (
+        _AUDIT_OVERSCANS,
+        _K,
+        ivfpq_recall_audit,
+    )
+
+    rows = ivfpq_recall_audit(spark, sf_dir).collect()
+    assert [r["overscan"] for r in rows] == sorted(_AUDIT_OVERSCANS)
+    for r in rows:
+        assert r["n_queries"] > 0
+        assert 0 < r["avg_returned"] <= _K
+        assert 0.0 <= r[f"recall_at_{_K}"] <= 1.0
+    # a wider ADC shortlist can only help the exact re-rank
+    recalls = [r[f"recall_at_{_K}"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
