@@ -33,6 +33,8 @@ float64 reductions, and both rank windows break ties by neighbor id.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -205,8 +207,79 @@ SELECT qid, nid, sim, rank FROM (
 """
 
 
-def knn_join_ivfpq(
+class IvfPqIndex(NamedTuple):
+    """A built IVF-PQ index: everything :func:`knn_join_ivfpq` derives
+    from the index side, reusable across searches/sweeps on a frozen
+    corpus (build once, vary ``n_probe``/``overscan``/``k`` freely —
+    those only shape the probe/ADC/rerank stages). Persist ``lists``
+    (and ``xn`` if reranking exactly) around a sweep so the build runs
+    once, and unpersist when done (the repo caching contract)."""
+
+    cent: DataFrame  #: (centroid_id, _cv) normalized coarse centroids
+    cent_mat: tuple  #: _collect_centroids materialization (ids, mat)
+    lists: DataFrame  #: (index_id, centroid_id, codes array<smallint>)
+    books: "object"  #: numpy (m, n_codes, d_sub) float64 PQ codebooks
+    xn: DataFrame  #: (index_id, _xv) normalized raw index (exact rerank side)
+    index_id: str
+    vec_col: str
+
+
+def build_ivfpq_index(
     index_df: DataFrame,
+    centroid_mod: int = 25,
+    m: int = 8,
+    n_codes: int = 16,
+    index_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    codebooks=None,
+) -> IvfPqIndex:
+    """Stages 1-2 of :func:`knn_join_ivfpq` (centroids + fused
+    assignment/PQ-encode), split out so a frozen corpus builds its
+    inverted lists ONCE and every subsequent search or knob sweep
+    reuses them — the ``IndexIVFPQ.train()+add()`` step. Identical
+    expressions to the inline build (bit-identical results)."""
+    import numpy as np
+
+    require_integral_ids("build_ivfpq_index", (index_df, index_id))
+    x = normalize_embeddings(index_df, vec_col).select(
+        index_id, F.col(vec_col).alias("_xv")
+    )
+    if codebook is not None:
+        cent = normalize_embeddings(codebook, vec_col).select(
+            "centroid_id", F.col(vec_col).alias("_cv")
+        )
+    else:
+        cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
+            F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
+        )
+    # An empty centroid set makes every downstream join empty — zero
+    # neighbors for every query with no signal anything is wrong (e.g.
+    # all-even ids can have no id ≡ 1 mod centroid_mod). The collect is
+    # the build's one centroid materialization, shared by assignment
+    # and probe selection.
+    cent_mat = _collect_centroids(cent)
+    if cent_mat[0].size == 0:
+        raise ValueError(
+            "build_ivfpq_index: empty centroid set — no index id satisfies "
+            f"id % {centroid_mod} == 1 (or the supplied codebook is empty); "
+            "pass a trained codebook or a centroid_mod that hits the id space"
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(index_df, index_id, vec_col, m=m, n_codes=n_codes)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    # Build: assignment + encoding fused into one narrow pass over the
+    # index; smallint codes (n_codes ≤ 256 by the pq trainer's uint8 gate).
+    assigned = _nearest_centroid(x, cent, index_id, cent_mat=cent_mat)
+    lists = pq_encode(
+        assigned, books, id_col=index_id, vec_col="_xv",
+        carry_cols=("centroid_id",), prenormalized=True,
+    ).select(index_id, "centroid_id", F.col("codes").cast("array<smallint>").alias("codes"))
+    return IvfPqIndex(cent, cent_mat, lists, books, x, index_id, vec_col)
+
+
+def knn_join_ivfpq(
+    index_df: DataFrame | None,
     query_df: DataFrame,
     k: int,
     centroid_mod: int = 25,
@@ -221,6 +294,7 @@ def knn_join_ivfpq(
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
     codebooks=None,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k with IVF coarse pruning + PQ-coded
     inverted lists. Output ``(query_id, neighbor_id, sim, rank)`` —
@@ -261,56 +335,32 @@ def knn_join_ivfpq(
     Training needs ≥ ``n_codes`` index rows (``train_pq_codebooks``
     raises a named error below that); pass precomputed ``codebooks``
     (numpy ``(m, n_codes, dim//m)``) to skip training, e.g. when
-    searching many deltas against one frozen index.
+    searching many deltas against one frozen index — or build the whole
+    index once with :func:`build_ivfpq_index` and pass it as ``index=``
+    (``index_df`` may then be None) so repeated searches/knob sweeps
+    never re-run the build; ``centroid_mod``/``m``/``n_codes``/
+    ``codebook(s)``/``index_id``/``vec_col`` are then taken from the
+    build, not these arguments.
     """
-    import numpy as np
-
     if rerank not in ("exact", "adc"):
         raise ValueError(f"rerank must be 'exact' or 'adc', got {rerank!r}")
-    require_integral_ids(
-        "knn_join_ivfpq", (index_df, index_id), (query_df, query_id)
-    )
+    require_integral_ids("knn_join_ivfpq", (query_df, query_id))
     spark = query_df.sparkSession
 
+    if index is None:
+        index = build_ivfpq_index(
+            index_df, centroid_mod=centroid_mod, m=m, n_codes=n_codes,
+            index_id=index_id, vec_col=vec_col,
+            codebook=codebook, codebooks=codebooks,
+        )
+    cent, cent_mat, lists, books, x, index_id = (
+        index.cent, index.cent_mat, index.lists, index.books, index.xn,
+        index.index_id,
+    )
     q = normalize_embeddings(query_df, vec_col).select(
         query_id, F.col(vec_col).alias("_qv")
     )
-    x = normalize_embeddings(index_df, vec_col).select(
-        index_id, F.col(vec_col).alias("_xv")
-    )
-    if codebook is not None:
-        cent = normalize_embeddings(codebook, vec_col).select(
-            "centroid_id", F.col(vec_col).alias("_cv")
-        )
-    else:
-        cent = x.filter(F.col(index_id) % centroid_mod == 1).select(
-            F.col(index_id).alias("centroid_id"), F.col("_xv").alias("_cv")
-        )
-    # An empty centroid set makes every downstream join empty — zero
-    # neighbors for every query with no signal anything is wrong (e.g.
-    # all-even ids can have no id ≡ 1 mod centroid_mod). The collect is
-    # the build's one centroid materialization, shared by assignment
-    # and probe selection below.
-    cent_mat = _collect_centroids(cent)
-    if cent_mat[0].size == 0:
-        raise ValueError(
-            "knn_join_ivfpq: empty centroid set — no index id satisfies "
-            f"id % {centroid_mod} == 1 (or the supplied codebook is empty); "
-            "pass a trained codebook or a centroid_mod that hits the id space"
-        )
-
-    if codebooks is None:
-        codebooks = train_pq_codebooks(index_df, index_id, vec_col, m=m, n_codes=n_codes)
-    books = np.ascontiguousarray(codebooks, dtype=np.float64)
     mm, nc, d_sub = books.shape
-
-    # Build: assignment + encoding fused into one narrow pass over the
-    # index; smallint codes (nc ≤ 256 by the pq trainer's uint8 gate).
-    assigned = _nearest_centroid(x, cent, index_id, cent_mat=cent_mat)
-    lists = pq_encode(
-        assigned, books, id_col=index_id, vec_col="_xv",
-        carry_cols=("centroid_id",), prenormalized=True,
-    ).select(index_id, "centroid_id", F.col("codes").cast("array<smallint>").alias("codes"))
 
     probes = _probe_cells(q, cent, query_id, n_probe, cent_mat=cent_mat)
     cand = probes.join(lists, "centroid_id")

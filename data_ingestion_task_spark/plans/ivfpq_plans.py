@@ -21,7 +21,12 @@ from math import isqrt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ivfpq import derive_codebooks, duckdb_ivfpq_sql, knn_join_ivfpq
+from ..operators.ivfpq import (
+    build_ivfpq_index,
+    derive_codebooks,
+    duckdb_ivfpq_sql,
+    knn_join_ivfpq,
+)
 from ..operators.knn import knn_join_exact
 from ._vector_shared import DIM, _D_VNORM, _split
 from .registry import query
@@ -149,17 +154,15 @@ def ivfpq_recall_audit(
     same deterministic 1-in-50 query sample, plus the average rows
     actually returned per query (thin cells can return < k).
 
-    The swept operator is treated as the black box under audit — each
-    branch calls ``knn_join_ivfpq`` whole (overscan cuts the shortlist
-    BEFORE the exact re-rank, so a wider branch's output cannot be
-    derived by filtering a narrower one; the shared-prefix trick the
-    IVF audit uses does not apply). Each branch re-runs the
-    build/encode stage, which is fine for an audit run on a sample and
-    wrong for production tuning on a frozen index — there, build the
-    inverted lists once and sweep the probe/rerank stages (the
-    operator's stage docs show the cut points). Query filtering after
-    the fact equals querying the sample directly because every IVF-PQ
-    stage past the build is per-query independent."""
+    Overscan cuts the shortlist BEFORE the exact re-rank, so a wider
+    branch's output cannot be derived by filtering a narrower one (the
+    shared-prefix trick the IVF audit uses does not apply) — but the
+    BUILD is knob-independent, so the inverted lists are built ONCE
+    (``build_ivfpq_index``, persisted) and every branch sweeps only
+    the probe/ADC/rerank stages: exactly the frozen-index production
+    tuning shape. Query filtering after the fact equals querying the
+    sample directly because every IVF-PQ stage past the build is
+    per-query independent."""
     q, x = _split(spark, sf_dir)
     q = q.filter(F.col("query_id") % sample_mod == 0).select("query_id", "embedding")
     x = x.select("neighbor_id", "embedding")
@@ -173,11 +176,13 @@ def ivfpq_recall_audit(
     )
     exact.count()
     nq = q.count()
+    idx = build_ivfpq_index(x, centroid_mod=cent_mod, codebooks=_BOOKS)
+    lists = idx.lists.persist()
+    idx = idx._replace(lists=lists)
     out_rows = []
     for o in _AUDIT_OVERSCANS:
         res = knn_join_ivfpq(
-            x, q, k=_K, centroid_mod=cent_mod, n_probe=_N_PROBE,
-            overscan=o, codebooks=_BOOKS,
+            None, q, k=_K, n_probe=_N_PROBE, overscan=o, index=idx,
         )
         agg = (
             res.join(exact, ["query_id", "neighbor_id"], "left")
@@ -191,6 +196,7 @@ def ivfpq_recall_audit(
             (o, nq, agg["tot"] / nq, agg["hits"] / (_K * nq))
         )
     exact.unpersist()
+    lists.unpersist()
     return spark.createDataFrame(
         out_rows,
         f"overscan bigint, n_queries bigint, avg_returned double, recall_at_{_K} double",
