@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from .functions import normalize as N
 from .functions.text import explode_chunks, hash64
+from .operators.confirm import confirm_documents
 from .operators.encode import hashing_encoder_udf
 from .operators.extract import extract_fields
 from .operators.knn import knn_join_exact
@@ -152,6 +153,70 @@ def extract_documents(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    lang_cap: int = 60,
+    source_col: str | None = None,
+    domain_cap: int = 30,
+) -> DataFrame:
+    """Training-corpus curation in one call: the registered quality /
+    dedup / selection operators composed the way a pretraining build
+    runs them. Returns one row per input doc with an auditable flag
+    per stage and the conjunction ``keep``:
+
+    - Gopher rule flags + ``quality_keep`` (plans/quality_plans
+      ``gopher_flags`` — exact integer arithmetic);
+    - ``exact_dup`` — not the first occurrence (lowest ``id_col``) of
+      a normalized-content md5 fingerprint;
+    - ``lang_kept`` / ``source_kept`` (when ``lang_col`` /
+      ``source_col`` are given) — survived the deterministic
+      hash-ranked per-language / per-domain caps
+      (plans/selection_plans ``capped_by_key``, same salts as the
+      registered queries).
+
+    Every stage is a column projection, hash aggregate, or bounded
+    window — no Python boundary, no collect; filter ``keep`` and join
+    back on ``id_col`` for the surviving corpus. Near-dup stages
+    (MinHash/SemDeDup) are deliberately separate operators: they need
+    corpus-level tuning before a blanket drop (see plans/dedup_plans,
+    plans/embedding_curation_plans)."""
+    from .functions.text import fingerprint_md5
+    from .plans.quality_plans import gopher_flags
+    from .plans.selection_plans import capped_by_key
+
+    q = gopher_flags(docs, text_col=text_col, keep_cols=(id_col,)).withColumnRenamed(
+        "keep", "quality_keep"
+    )
+    wfp = Window.partitionBy("_fp").orderBy(id_col)
+    fp = (
+        docs.select(id_col, fingerprint_md5(F.col(text_col)).alias("_fp"))
+        .withColumn("exact_dup", F.row_number().over(wfp) > 1)
+        .select(id_col, "exact_dup")
+    )
+    carry = [c for c in (lang_col, source_col) if c]
+    out = docs.select(id_col, *carry).join(q, id_col).join(fp, id_col)
+    keep = F.col("quality_keep") & ~F.col("exact_dup")
+    for col, cap, salt, flag in (
+        (lang_col, lang_cap, "lbs", "lang_kept"),
+        (source_col, domain_cap, "dfc", "source_kept"),
+    ):
+        if not col:
+            continue
+        surv = (
+            capped_by_key(docs.select(id_col, col), col, cap, salt=salt, id_col=id_col)
+            .select(id_col)
+            .withColumn(flag, F.lit(True))
+        )
+        out = out.join(surv, id_col, "left").withColumn(
+            flag, F.coalesce(F.col(flag), F.lit(False))
+        )
+        keep = keep & F.col(flag)
+    return out.withColumn("keep", keep)
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the cached intermediates a facade result references
     (no-op for results without any). Call after collecting when the
@@ -216,44 +281,9 @@ def train_test_split_by_doc(
     return docs.filter(h != 0), docs.filter(h == 0)
 
 
-def confirm_documents(
-    df: DataFrame,
-    doc_first: str,
-    doc_last: str,
-    doc_addr: str,
-    sor_first: str,
-    sor_last: str,
-    sor_addr: str,
-) -> DataFrame:
-    """System-of-record validation confirmation as a reusable stage
-    (conf_5_22.py rule spec; keyy_4_21.py 2-of-3 decision;
-    confirmation_service.py's /confirm-document contract minus the
-    Flask wrapper): nickname-canonicalized first-name match,
-    case-folded last-name match, street-abbreviation-normalized
-    address match → ``n_matches``, ``decision`` yes/no, ``confidence``
-    and ``explanation`` — the service's response dict as columns."""
-    def m(cond: Column) -> Column:
-        return F.coalesce(cond.cast("int"), F.lit(0))
-
-    fm = m(N.normalize_first_name(F.col(doc_first)) == N.normalize_first_name(F.col(sor_first)))
-    lm = m(F.lower(F.trim(F.col(doc_last))) == F.lower(F.trim(F.col(sor_last))))
-    am = m(
-        N.normalize_street_address(F.col(doc_addr))
-        == N.normalize_street_address(F.col(sor_addr))
-    )
-    n = fm + lm + am
-    explanation = F.concat_ws(
-        "; ",
-        F.when(fm == 1, F.lit("first name matches")).otherwise(F.lit("first name differs")),
-        F.when(lm == 1, F.lit("last name matches")).otherwise(F.lit("last name differs")),
-        F.when(am == 1, F.lit("address matches")).otherwise(F.lit("address differs")),
-    )
-    return (
-        df.withColumn("n_matches", n)
-        .withColumn("decision", F.when(n >= 2, "yes").otherwise("no"))
-        .withColumn("confidence", F.round(n.cast("double") / 3, 6))
-        .withColumn("explanation", explanation)
-    )
+# confirm_documents is re-exported above: the rule engine lives in
+# operators/confirm.py so plan modules can use it without importing
+# this facade (keeps their certification dep closure facade-free).
 
 
 def confirm_payload(spark: SparkSession, payload: dict) -> dict:

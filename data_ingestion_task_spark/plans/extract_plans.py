@@ -227,7 +227,7 @@ def sor_confirmation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doc_addr = F.concat(house, F.lit(" "), doc_street)  # null street → null addr
 
-    from ..api import confirm_documents  # lazy: api is the facade layer
+    from ..operators.confirm import confirm_documents
 
     frame = c.select(
         "c_custkey",

@@ -281,12 +281,20 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, plus the conjunction ``keep``. Ratio thresholds are
     cross-multiplied integers (``5·n_alpha ≥ 4·n_words``), never float
     division, so both engines compare identical bigints."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.trim(F.col("text")).alias("txt")
-    )
+    return gopher_flags(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def gopher_flags(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """DataFrame-shaped Gopher rule filter (the library entry behind
+    the registered query, reused by ``api.curate_corpus``): emits
+    ``keep_cols`` + ``n_words`` + one boolean per rule + the
+    conjunction ``keep``. Same exact-integer arithmetic as the oracle."""
+    d = docs.select(*keep_cols, F.trim(F.col(text_col)).alias("txt"))
     ws = words(F.col("txt"))
     m = d.select(
-        "doc_id",
+        *keep_cols,
         F.size(ws).cast("bigint").alias("n_words"),
         F.length(F.concat_ws("", ws)).cast("bigint").alias("n_word_chars"),
         F.size(
@@ -319,7 +327,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ok = F.col("n_stop") >= 2
     alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
     return m.select(
-        "doc_id",
+        *keep_cols,
         "n_words",
         word_count_ok.alias("word_count_ok"),
         mwl_ok.alias("mean_word_len_ok"),
@@ -327,4 +335,4 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ok.alias("stopwords_ok"),
         alpha_ok.alias("alpha_ok"),
         (word_count_ok & mwl_ok & symbol_ok & stop_ok & alpha_ok).alias("keep"),
-    ).orderBy("doc_id")
+    )

@@ -62,6 +62,26 @@ def _d_hash64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def capped_by_key(
+    df: DataFrame, key_col: str, cap: int, salt: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame-shaped deterministic per-key cap (the library entry
+    behind ``language_balanced_sample``, reused by
+    ``api.curate_corpus``): rank rows within each ``key_col`` group by
+    a salted 60-bit md5 hash of ``id_col`` (ties by id) and keep
+    ``rk ≤ cap``. Adds the ``rk`` column; drops the internal hash."""
+    d = df.withColumn(
+        "_capH",
+        hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+    )
+    w = Window.partitionBy(key_col).orderBy("_capH", id_col)
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= cap)
+        .drop("_capH")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-budget selection
 # ---------------------------------------------------------------------------
@@ -194,15 +214,9 @@ def language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle idiom), and each language keeps its ``rk ≤ 60``
     head. Head languages are capped, tail languages pass through whole
     — the pre-step to temperature mixing (``mixture_temperature``)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        hash64(F.concat(F.lit("lbs:"), F.col("doc_id").cast("string"))).alias("h"),
-    )
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= _LANG_CAP)
+        capped_by_key(d, "lang", _LANG_CAP, salt="lbs")
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
     )

@@ -116,3 +116,48 @@ def test_domain_cap_accounting_conserved(spark, sf_dir):
         assert r["cap_hit"] == (r["n_docs"] > _DOMAIN_CAP)
         # the rank-1 survivor really belongs to this source
         assert doc_sources[r["first_kept_doc"]] == r["source"]
+
+
+def test_curate_corpus_flags_match_registered_queries(spark, sf_dir):
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.quality_plans import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = api.curate_corpus(
+        docs, lang_col="lang", lang_cap=_LANG_CAP,
+        source_col="source", domain_cap=_DOMAIN_CAP,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+
+    # quality flags == the registered gopher query
+    for g in gopher_quality_filter(spark, sf_dir).collect():
+        assert rows[g["doc_id"]]["quality_keep"] == g["keep"]
+        assert rows[g["doc_id"]]["alpha_ok"] == g["alpha_ok"]
+
+    # lang survivorship == the registered balanced sample (same salt)
+    lang_kept = {r["doc_id"] for r in language_balanced_sample(spark, sf_dir).collect()}
+    assert {d for d, r in rows.items() if r["lang_kept"]} == lang_kept
+
+    # per-source survivor count == the registered cap accounting
+    per_source = {}
+    for d, r in rows.items():
+        per_source[r["source"]] = per_source.get(r["source"], 0) + int(r["source_kept"])
+    for c in domain_frequency_cap(spark, sf_dir).collect():
+        assert per_source[c["source"]] == c["n_kept"]
+
+    # exact_dup: first occurrence of each fingerprint is never flagged
+    from pyspark.sql import functions as F
+    from data_ingestion_task_spark.functions.text import fingerprint_md5
+    fps = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp")).collect()
+    first = {}
+    for r in sorted(fps, key=lambda r: r["doc_id"]):
+        first.setdefault(r["fp"], r["doc_id"])
+    for r in fps:
+        assert rows[r["doc_id"]]["exact_dup"] == (first[r["fp"]] != r["doc_id"])
+
+    # keep is exactly the conjunction
+    for d, r in rows.items():
+        assert r["keep"] == (
+            r["quality_keep"] and not r["exact_dup"] and r["lang_kept"] and r["source_kept"]
+        )
