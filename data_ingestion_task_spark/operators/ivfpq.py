@@ -289,6 +289,7 @@ def knn_join_ivfpq(
     overscan: int = 8,
     rerank: str = "exact",
     broadcast_rerank: bool = True,
+    broadcast_queries: bool = False,
     query_id: str = "query_id",
     index_id: str = "neighbor_id",
     vec_col: str = "embedding",
@@ -363,27 +364,81 @@ def knn_join_ivfpq(
     mm, nc, d_sub = books.shape
 
     probes = _probe_cells(q, cent, query_id, n_probe, cent_mat=cent_mat)
-    cand = probes.join(lists, "centroid_id")
 
     bc = spark.sparkContext.broadcast(books)
 
-    @F.pandas_udf("double")
-    def adc_sim(codes, qv):
+    if broadcast_queries:
+        # The candidate stream is Q × n_probe × cell_size rows; with the
+        # per-row layout below, every one drags the dim-double query
+        # vector through the join output and the Arrow boundary —
+        # measured as the dominant term of the registered query at 30×
+        # (SCALE.md §0b, ann_ivfpq_topk). When the query side is
+        # dimension-table-sized (the retrieve/classify regime), one
+        # query-matrix broadcast removes the wide column entirely: the
+        # candidate rows carry (qid, nid, m smallint codes) ONLY, and
+        # the ADC stage gathers each row's query sub-vectors from the
+        # broadcast by binary search. Scoring is the identical per-row
+        # reshape + einsum — bit-identical ADC values. With millions of
+        # simultaneous queries keep the default (per-row layout), same
+        # judgment call as ``broadcast_rerank``.
         import numpy as np
-        import pandas as pd
 
-        b = bc.value
-        m_, _, d_ = b.shape
-        if len(codes) == 0:
-            return pd.Series([], dtype="float64")
-        cm = np.array(list(codes), dtype=np.int64)  # (B, m)
-        qm = np.array(list(qv), dtype=np.float64).reshape(len(cm), m_, d_)
-        sel = b[np.arange(m_)[None, :], cm]  # (B, m, d_sub) gather
-        return pd.Series(np.einsum("bmd,bmd->b", sel, qm))
+        qtbl = q.toArrow()
+        qids = qtbl.column(0).to_numpy()
+        order = np.argsort(qids)
+        qids_sorted = np.ascontiguousarray(qids[order])
+        qmat = np.array(qtbl.column(1).to_pylist(), dtype=np.float64)[order]
+        bq = spark.sparkContext.broadcast((qids_sorted, qmat))
+        cand = probes.select(query_id, "centroid_id").join(lists, "centroid_id")
+        adc_schema = f"{query_id} long, {index_id} long, _adc double"
+
+        def adc_gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            bqids, bqmat = bq.value
+            b = bc.value
+            m_, _, d_ = b.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.array(list(pdf["codes"]), dtype=np.int64)  # (B, m)
+                qi = np.searchsorted(bqids, pdf[query_id].to_numpy())
+                qm = bqmat[qi].reshape(len(cm), m_, d_)
+                sel = b[np.arange(m_)[None, :], cm]  # (B, m, d_sub) gather
+                yield pd.DataFrame(
+                    {
+                        query_id: pdf[query_id],
+                        index_id: pdf[index_id],
+                        "_adc": np.einsum("bmd,bmd->b", sel, qm),
+                    }
+                )
+
+        scored = cand.select(query_id, index_id, "codes").mapInPandas(
+            adc_gen, adc_schema
+        )
+    else:
+        cand = probes.join(lists, "centroid_id")
+
+        @F.pandas_udf("double")
+        def adc_sim(codes, qv):
+            import numpy as np
+            import pandas as pd
+
+            b = bc.value
+            m_, _, d_ = b.shape
+            if len(codes) == 0:
+                return pd.Series([], dtype="float64")
+            cm = np.array(list(codes), dtype=np.int64)  # (B, m)
+            qm = np.array(list(qv), dtype=np.float64).reshape(len(cm), m_, d_)
+            sel = b[np.arange(m_)[None, :], cm]  # (B, m, d_sub) gather
+            return pd.Series(np.einsum("bmd,bmd->b", sel, qm))
+
+        scored = cand.select(query_id, index_id, adc_sim("codes", "_qv").alias("_adc"))
 
     wo = Window.partitionBy(query_id).orderBy(F.desc("_adc"), F.asc(index_id))
     shortlist = (
-        cand.select(query_id, index_id, adc_sim("codes", "_qv").alias("_adc"))
+        scored
         .withColumn("_r", F.row_number().over(wo))
         .filter(F.col("_r") <= k * overscan)
     )

@@ -77,6 +77,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_N_PROBE,
         overscan=_OVERSCAN,
         codebooks=_BOOKS,
+        # The query side is the corpus's 1-in-5 split — dimension-table
+        # sized at every probed SF (6 MB at sf3), so the ADC stage runs
+        # broadcast-queries: candidate rows carry codes only (the wide
+        # _qv column was the measured 30x cost center, SCALE.md §0b).
+        broadcast_queries=True,
     )
     return res.select(
         "query_id",
@@ -183,6 +188,7 @@ def ivfpq_recall_audit(
     for o in _AUDIT_OVERSCANS:
         res = knn_join_ivfpq(
             None, q, k=_K, n_probe=_N_PROBE, overscan=o, index=idx,
+            broadcast_queries=True,
         )
         agg = (
             res.join(exact, ["query_id", "neighbor_id"], "left")

@@ -143,3 +143,30 @@ def test_ivfpq_recall_audit_monotone(spark, sf_dir):
     # a wider ADC shortlist can only help the exact re-rank
     recalls = [r[f"recall_at_{_K}"] for r in rows]
     assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_broadcast_queries_path_bit_identical(spark, sf_dir):
+    """The broadcast-queries ADC layout (codes-only candidate rows,
+    query matrix gathered from a broadcast) must reproduce the per-row
+    layout exactly — same ids, same ranks, same sims to the bit."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark.operators.ivfpq import knn_join_ivfpq
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    base = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_join_ivfpq(x, q, k=3, broadcast_queries=False).collect()
+    }
+    bq = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in knn_join_ivfpq(x, q, k=3, broadcast_queries=True).collect()
+    }
+    assert base == bq and base
