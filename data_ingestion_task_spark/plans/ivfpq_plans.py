@@ -184,23 +184,35 @@ def ivfpq_recall_audit(
     idx = build_ivfpq_index(x, centroid_mod=cent_mod, codebooks=_BOOKS)
     lists = idx.lists.persist()
     idx = idx._replace(lists=lists)
-    out_rows = []
+    # Single-job union shape (the ann/ivf audit convention): every
+    # overscan branch is tagged and unioned so ONE aggregate action
+    # evaluates the whole sweep — the persisted lists make the shared
+    # build run once inside it.
+    union = None
     for o in _AUDIT_OVERSCANS:
         res = knn_join_ivfpq(
             None, q, k=_K, n_probe=_N_PROBE, overscan=o, index=idx,
             broadcast_queries=True,
         )
-        agg = (
-            res.join(exact, ["query_id", "neighbor_id"], "left")
-            .agg(
-                F.count("*").alias("tot"),
-                F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits"),
-            )
-            .collect()[0]
+        branch = res.join(exact, ["query_id", "neighbor_id"], "left").withColumn(
+            "overscan", F.lit(o)
         )
-        out_rows.append(
-            (o, nq, agg["tot"] / nq, agg["hits"] / (_K * nq))
+        union = branch if union is None else union.unionByName(branch)
+    stats = {
+        r["overscan"]: r
+        for r in union.groupBy("overscan")
+        .agg(
+            F.count("*").alias("tot"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits"),
         )
+        .collect()
+    }
+    out_rows = []
+    for o in _AUDIT_OVERSCANS:
+        r = stats.get(o)
+        tot = r["tot"] if r is not None else 0
+        hits = r["hits"] if r is not None else 0
+        out_rows.append((o, nq, tot / nq, hits / (_K * nq)))
     exact.unpersist()
     lists.unpersist()
     return spark.createDataFrame(
