@@ -290,6 +290,7 @@ def knn_topk(
     max_index_rows: int = DEFAULT_MAX_INDEX_ROWS,
     n_bits: int = 8,
     pq_overscan: int | None = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Size-routed top-k: exact broadcast brute force while the index
     side fits the broadcast cap, PQ-compressed broadcast (codes are
@@ -305,10 +306,20 @@ def knn_topk(
     pass ``pq_overscan=None`` to skip the band); above that,
     identical to :func:`knn_join_lsh` (approximate — recall tuned by
     ``n_bits``). Past the PQ band, callers with a TRAINED coarse
-    codebook (a frozen corpus searched repeatedly) should prefer
-    :func:`.ivfpq.knn_join_ivfpq` directly — its inverted lists ship
-    PQ codes through the cell shuffle instead of LSH's raw vectors;
-    the facade keeps LSH as its codebook-free default.
+    codebook (a frozen corpus searched repeatedly) pass it as
+    ``codebook=`` (``(centroid_id, vec)``, e.g.
+    ``train_ivf_codebook``) and the band routes to
+    :func:`.ivfpq.knn_join_ivfpq` instead — its inverted lists ship
+    PQ codes (m smallints) through the cell shuffle instead of LSH's
+    raw dim-double vectors (~8× narrower at 64-dim), the win that
+    prices at cluster byte-volume rather than local wall (measured
+    sf3 A/B in SCALE.md §"Queued for round 8": 2.5× LSH-default
+    recall at the facade's own defaults; recall-matched LSH is
+    wall-competitive only on local[32]). The facade keeps LSH as its
+    codebook-free default, and falls through to LSH when
+    ``dim % 8 != 0`` (the PQ encoder's subspace constraint). Routing
+    is on caller intent — supplying a codebook says "frozen corpus,
+    train-once/search-many" — not on a local wall-clock win.
 
     The routing count would re-execute a DERIVED index pipeline that
     the chosen path then executes again (for an expensive encode stage
@@ -351,6 +362,13 @@ def knn_topk(
             n_codes=256 if n >= 1024 else 16,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows * 32,
+        )
+    elif codebook is not None and dim % 8 == 0:
+        from .ivfpq import knn_join_ivfpq  # deferred: ivfpq imports this module
+
+        out = knn_join_ivfpq(
+            idx, query_df, k, codebook=codebook,
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
         )
     else:
         out = knn_join_lsh(
@@ -403,6 +421,16 @@ def _nearest_centroid(
        survivors per row, and the same max(struct) reduce picks the
        winner. numpy decides WHICH pairs get scored, never the score,
        so assignments are bit-identical to the full expansion.
+
+       Precondition (ADVICE r6): the 1e-6 margin's losslessness proof
+       assumes unit-norm rows and centroids (|sim| ≤ 1, so the BLAS/
+       JVM discrepancy is bounded by ~1e-14 · 1 ≪ margin). Every
+       caller in this package L2-normalizes both sides first
+       (``functions.vectors.l2_normalize``); feeding raw vectors with
+       |x|·|c| ≫ 1e8 could let the float64 reduction-order wobble
+       exceed the margin and drop the true argmax from the candidate
+       set. Normalize first, or scale the margin by the row's max
+       |sim| if un-normalized inputs are ever required.
 
     ``_xv`` rides through the Arrow stage (float64 round-trips
     exactly) and the reduce's F.first, deterministic because every row
@@ -488,6 +516,9 @@ def _probe_cells(
     sort_array ascending on (neg_sim, centroid_id) ≡ sim DESC,
     centroid_id ASC — numpy picks WHICH centroids get scored, never
     the score, so probes are bit-identical to the full expansion.
+    Same unit-norm precondition on the 1e-6 margin as
+    :func:`_nearest_centroid` (|sim| ≤ 1 bounds the BLAS/JVM
+    discrepancy ≪ margin) — all in-package callers normalize first.
 
     ``emit_rank=True`` adds a ``prn`` column (1-based probe rank) via
     posexplode — recall audits sweep one max-probe ranking and filter
