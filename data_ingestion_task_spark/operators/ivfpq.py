@@ -340,8 +340,12 @@ def knn_join_ivfpq(
     index once with :func:`build_ivfpq_index` and pass it as ``index=``
     (``index_df`` may then be None) so repeated searches/knob sweeps
     never re-run the build; ``centroid_mod``/``m``/``n_codes``/
-    ``codebook(s)``/``index_id``/``vec_col`` are then taken from the
-    build, not these arguments.
+    ``codebook(s)``/``index_id`` are then taken from the build, not
+    these arguments. ``vec_col`` is the exception: it still names the
+    QUERY frame's vector column (the two frames may legitimately name
+    their embeddings differently), so a build with a non-default
+    vec_col composes with any query-side name — pass the query frame's
+    own column (ADVICE r7 #1).
     """
     if rerank not in ("exact", "adc"):
         raise ValueError(f"rerank must be 'exact' or 'adc', got {rerank!r}")
@@ -390,7 +394,16 @@ def knn_join_ivfpq(
         qmat = np.array(qtbl.column(1).to_pylist(), dtype=np.float64)[order]
         bq = spark.sparkContext.broadcast((qids_sorted, qmat))
         cand = probes.select(query_id, "centroid_id").join(lists, "centroid_id")
-        adc_schema = f"{query_id} long, {index_id} long, _adc double"
+        # Derive the id types from the candidate frame so this layout's
+        # output matches the per-row layout exactly: query_id is long
+        # either way (widened by _probe_cells), but index_id keeps the
+        # caller's int/short type instead of being silently widened to
+        # bigint on one path only (ADVICE r7 #2).
+        _ct = dict(cand.dtypes)
+        adc_schema = (
+            f"{query_id} {_ct[query_id]}, {index_id} {_ct[index_id]}, "
+            "_adc double"
+        )
 
         def adc_gen(batches):
             import numpy as np

@@ -181,6 +181,15 @@ def ivfpq_recall_audit(
     )
     exact.count()
     nq = q.count()
+    if nq == 0:
+        # A corpus too small for the 1-in-50 sample to hit any query
+        # would otherwise surface as a bare ZeroDivisionError below
+        # (ADVICE r7 #4) — match the empty-centroid guard style.
+        raise ValueError(
+            f"ivfpq_recall_audit: query sample is empty (sample_mod="
+            f"{sample_mod} selected 0 of the query ids); lower "
+            "sample_mod for corpora this small"
+        )
     idx = build_ivfpq_index(x, centroid_mod=cent_mod, codebooks=_BOOKS)
     lists = idx.lists.persist()
     idx = idx._replace(lists=lists)

@@ -170,3 +170,56 @@ def test_broadcast_queries_path_bit_identical(spark, sf_dir):
         for r in knn_join_ivfpq(x, q, k=3, broadcast_queries=True).collect()
     }
     assert base == bq and base
+
+
+def test_broadcast_queries_keeps_id_types(spark, sf_dir):
+    """With int (not long) neighbor ids, the broadcast-queries ADC
+    layout must emit the same id dtypes as the per-row layout instead
+    of silently widening index_id to bigint (ADVICE r7 #2)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark.operators.ivfpq import knn_join_ivfpq
+    from data_ingestion_task_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    x = e.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").cast("int").alias("neighbor_id"), "embedding"
+    )
+    per_row = knn_join_ivfpq(x, q, k=3, broadcast_queries=False)
+    bq = knn_join_ivfpq(x, q, k=3, broadcast_queries=True)
+    assert dict(per_row.dtypes) == dict(bq.dtypes)
+    assert dict(bq.dtypes)["neighbor_id"] == "int"
+    base = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in per_row.collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in bq.collect()
+    }
+    assert base == got and base
+
+
+def test_recall_audit_empty_sample_raises(spark, sf_dir, monkeypatch):
+    """A corpus whose query sample comes up empty must raise a named
+    error, not ZeroDivisionError (ADVICE r7 #4). id 0 always survives
+    `query_id % sample_mod == 0`, so emptiness is reached the way a
+    real tiny corpus would reach it: a query side with no sampled ids
+    (patched _split)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark.plans import ivfpq_plans
+
+    real = ivfpq_plans._split
+
+    def no_zero_split(spark_, sf_dir_):
+        q, x = real(spark_, sf_dir_)
+        return q.filter(F.col("query_id") > 0), x
+
+    monkeypatch.setattr(ivfpq_plans, "_split", no_zero_split)
+    with pytest.raises(ValueError, match="query sample is empty"):
+        ivfpq_plans.ivfpq_recall_audit(spark, sf_dir, sample_mod=10_000_000)
