@@ -120,6 +120,10 @@ def duckdb_ivfpq_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred: str = "vec_id % 5 = 0",
+    extra_ctes: str = "",
+    books_sql: str | None = None,
+    cent_sql: str | None = None,
+    pq_shape: tuple[int, int] | None = None,
 ) -> str:
     """DuckDB twin of :func:`knn_join_ivfpq` (same id-residue centroid
     set, coarse assignment, PQ encode, ADC shortlist, exact re-rank —
@@ -137,16 +141,33 @@ def duckdb_ivfpq_sql(
     ``GREATEST(25, n // isqrt(n))`` over the index side (the exact
     integer-sqrt idiom shared with ``ann_ivf_topk``'s oracle), so the
     static string stays correct while nlist ≈ √N tracks the data —
-    the registration shape."""
+    the registration shape.
+
+    TRAINED-artifact twins (``ivfpq_trained_topk``): ``extra_ctes``
+    is spliced into the WITH chain right after ``qn`` (it may
+    reference ``xn``/``qn``; DuckDB resolves forward CTE references,
+    so order within the chain is free), ``books_sql`` replaces the
+    inlined VALUES codebooks with a SELECT yielding ``(j, code, cv)``
+    (pass ``pq_shape=(m, d_sub)`` since there is no numpy array to
+    read the shape from), and ``cent_sql`` replaces the id-residue
+    centroid set with a SELECT yielding ``(cid, cv)``."""
     import numpy as np
 
-    books = np.ascontiguousarray(codebooks, dtype=np.float64)
-    m, nc, ds = books.shape
-    vals = ",".join(
-        f"({j},{c},[{','.join(repr(float(v)) for v in books[j][c])}])"
-        for j in range(m)
-        for c in range(nc)
-    )
+    if books_sql is None:
+        books = np.ascontiguousarray(codebooks, dtype=np.float64)
+        m, nc, ds = books.shape
+        vals = ",".join(
+            f"({j},{c},[{','.join(repr(float(v)) for v in books[j][c])}])"
+            for j in range(m)
+            for c in range(nc)
+        )
+        books_cte = f"books(j, code, cv) AS (VALUES {vals})"
+    else:
+        if pq_shape is None:
+            raise ValueError("books_sql requires pq_shape=(m, d_sub)")
+        m, ds = pq_shape
+        books_cte = f"books AS ({books_sql})"
+    extra = f"\n{extra_ctes}," if extra_ctes.strip() else ""
     if centroid_mod == "isqrt":
         cmod_cte = """
 cmod AS (SELECT GREATEST(25, n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1
@@ -159,8 +180,13 @@ cmod AS (SELECT GREATEST(25, n // (s0 + CASE WHEN (s0+1)*(s0+1) <= n THEN 1
     else:
         cmod_cte = ""
         mod_expr = str(int(centroid_mod))
+    cent_body = (
+        cent_sql
+        if cent_sql is not None
+        else f"SELECT id cid, v cv FROM xn WHERE id % {mod_expr} = 1"
+    )
     return f"""
-WITH books(j, code, cv) AS (VALUES {vals}),
+WITH {books_cte},
 raw AS (SELECT {id_col} id, {query_pred} AS is_q,
                list_transform({vec_col}, v -> CAST(v AS DOUBLE)) v
         FROM {emb_table}),
@@ -169,8 +195,8 @@ n AS (SELECT id, is_q,
                   ELSE list_transform(v, e -> e/sqrt(list_dot_product(v,v))) END v
       FROM raw),
 xn AS (SELECT id, v FROM n WHERE NOT is_q),
-qn AS (SELECT id, v FROM n WHERE is_q),{cmod_cte}
-cent AS (SELECT id cid, v cv FROM xn WHERE id % {mod_expr} = 1),
+qn AS (SELECT id, v FROM n WHERE is_q),{extra}{cmod_cte}
+cent AS ({cent_body}),
 asn AS (SELECT id, cid FROM (
     SELECT x.id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY x.id

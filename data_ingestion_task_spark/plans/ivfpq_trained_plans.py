@@ -1,0 +1,161 @@
+"""Trained-codebook IVF-PQ under the oracle gate — closes the gap
+between the certified static-codebook query (``ann_ivfpq_topk``:
+id-residue centroids + md5-derived PQ codebooks) and the production
+recommendation (train both codebooks: ``train_ivf_codebook`` +
+a PQ trainer), which until round 8 were library-only.
+
+The FAISS analogue is the full ``IndexIVFPQ.train()`` → ``add()`` →
+``search()`` lifecycle (the reference's flat index,
+`code/python/Faiss_2_10.py:70-146`, never trains anything); the
+pinning idiom is ``ivf_kmeans_refine``'s: every trained artifact is
+DECIMAL-quantized (round-9dp component sums), so coarse centroids AND
+PQ codebooks are bit-identical between the Spark plan and the static
+DuckDB twin, and the whole search — probe, ADC shortlist, exact
+re-rank — stays hash-comparable.
+
+Production shape (100 TB): training reads a DETERMINISTIC ≤1024-row
+hash-sample (`TakeOrderedAndProject`), so trainer cost is O(1) in N;
+the only full-corpus passes are the build's one narrow
+assign+encode Arrow stage and the final broadcast-shortlist re-rank —
+identical scaling to the certified ``ann_ivfpq_topk``
+(SCALE.md §0b), with search riding the broadcast-queries ADC layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64
+from ..operators.ivfpq import duckdb_ivfpq_sql, knn_join_ivfpq
+from ..operators.knn import train_ivf_codebook
+from ..operators.pq_train import collect_codebooks, train_pq_codebooks_df
+from ._vector_shared import DIM, _split
+from .registry import query
+from .vector_plans import _d_km_assign, _d_km_recompute
+
+_K, _N_PROBE, _OVERSCAN = 3, 2, 8
+_M, _N_CODES = 8, 16
+_D_SUB = DIM // _M
+_SEED_MOD = 25  # coarse seeds: sample ids ≡ 1 (mod 25) — nlist ≈ sample/25
+_SAMPLE = 1024  # training-sample cap (the ivf_kmeans_refine idiom)
+_ROUNDS = 2  # Lloyd rounds, both trainers
+
+
+def _d_pq_round(r: int, prev: str) -> str:
+    """One PQ Lloyd round as DuckDB CTEs: assign each (id, subspace)
+    slice to its argmin-``‖c‖²−2x·c`` code (ties to the lowest code),
+    then recompute each code's centroid as the DECIMAL-quantized plain
+    mean, keeping the previous centroid for empty clusters — the exact
+    twin of one ``train_pq_codebooks_df`` iteration."""
+    return f"""
+    pa{r} AS (SELECT id, j, sub, code FROM (
+        SELECT s.id, s.j, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.j
+                  ORDER BY list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.sub, c.cv) ASC,
+                           c.code ASC) AS rn
+        FROM psub s JOIN {prev} c USING (j)) WHERE rn = 1),
+    pm{r} AS (SELECT j, code, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS m
+        FROM (
+          SELECT j, code, i AS pos,
+                 SUM(CAST(round(sub[i], 9) AS DECIMAL(12,9))) AS s,
+                 COUNT(*) AS c
+          FROM pa{r} CROSS JOIN range(1, {_D_SUB + 1}) t(i)
+          GROUP BY j, code, i) GROUP BY j, code),
+    pc{r} AS (SELECT c.j, c.code, COALESCE(m.m, c.cv) AS cv
+        FROM {prev} c LEFT JOIN pm{r} m ON m.j = c.j AND m.code = c.code)"""
+
+
+_TRAIN_CTES = f"""
+smph AS (SELECT id, v,
+           ('0x' || substr(md5('ivfpqsmp:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM xn),
+smp AS (SELECT id AS neighbor_id, v FROM smph ORDER BY h, id LIMIT {_SAMPLE}),
+kc0 AS (SELECT neighbor_id AS centroid_id, v AS cv FROM smp
+        WHERE neighbor_id % {_SEED_MOD} = 1),
+ka1 AS ({_d_km_assign("smp", "kc0")}),
+kc1 AS ({_d_km_recompute("ka1")}),
+ka2 AS ({_d_km_assign("smp", "kc1")}),
+kc2 AS ({_d_km_recompute("ka2")}),
+kcn AS (SELECT centroid_id,
+          CASE WHEN list_dot_product(cv, cv) = 0 THEN cv
+               ELSE list_transform(cv, e -> e / sqrt(list_dot_product(cv, cv)))
+          END AS cv
+        FROM kc2),
+psub AS (SELECT neighbor_id AS id, j,
+                v[j*{_D_SUB}+1 : j*{_D_SUB}+{_D_SUB}] AS sub
+         FROM smp CROSS JOIN (SELECT unnest(generate_series(0, {_M - 1})) AS j)),
+phead AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS code
+          FROM (SELECT neighbor_id AS id FROM smp
+                ORDER BY neighbor_id LIMIT {_N_CODES})),
+pc0 AS (SELECT s.j, h.code, s.sub AS cv FROM psub s JOIN phead h USING (id)),
+{",".join(_d_pq_round(r, f"pc{r - 1}") for r in range(1, _ROUNDS + 1))}"""
+
+_ORACLE = f"""
+    SELECT qid AS query_id, rank AS rnk, nid AS neighbor_id,
+           round(sim, 9) AS sim
+    FROM ({duckdb_ivfpq_sql(
+        None,
+        k=_K,
+        n_probe=_N_PROBE,
+        overscan=_OVERSCAN,
+        emb_table="embeddings",
+        extra_ctes=_TRAIN_CTES,
+        books_sql=f"SELECT j, code, cv FROM pc{_ROUNDS}",
+        cent_sql="SELECT centroid_id AS cid, cv FROM kcn",
+        pq_shape=(_M, _D_SUB),
+    )})
+    ORDER BY query_id, rnk
+"""
+
+
+@query("ivfpq_trained_topk", oracle=_ORACLE)
+def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with BOTH codebooks trained (the production
+    recommendation the static-codebook ``ann_ivfpq_topk`` stands in
+    for): a deterministic ≤{_SAMPLE}-row hash-sample feeds
+    ``train_ivf_codebook`` ({_ROUNDS} spherical Lloyd rounds, seeds =
+    sample ids ≡ 1 mod {_SEED_MOD}) and ``train_pq_codebooks_df``
+    ({_ROUNDS} Euclidean Lloyd rounds per subspace, init = the
+    sample's first {_N_CODES} ids); the trained artifacts then drive
+    the same probe → ADC → exact-re-rank pipeline. Every trained sum
+    is DECIMAL-quantized, so the DuckDB twin reconstructs both
+    codebooks bit-exactly and the gate checks the full lifecycle, not
+    just the search."""
+    q, x = _split(spark, sf_dir)
+    x = x.select("neighbor_id", "embedding")
+    h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
+    smp = (
+        x.orderBy(h.asc(), F.col("neighbor_id").asc())
+        .limit(_SAMPLE)
+        .persist()  # scanned by both trainers' rounds + init collect
+    )
+    cb = train_ivf_codebook(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS)
+    books = collect_codebooks(
+        train_pq_codebooks_df(
+            smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS
+        ),
+        _M,
+        _N_CODES,
+        _D_SUB,
+    )
+    res = knn_join_ivfpq(
+        x,
+        q.select("query_id", "embedding"),
+        k=_K,
+        n_probe=_N_PROBE,
+        overscan=_OVERSCAN,
+        codebook=cb,
+        codebooks=books,
+        # Same judgment call as ann_ivfpq_topk: the 1-in-5 query split
+        # is dimension-table-sized at every probed SF, so the ADC
+        # stage runs codes-only candidate rows (SCALE.md §0b).
+        broadcast_queries=True,
+    )
+    return res.select(
+        "query_id",
+        F.col("rank").alias("rnk"),
+        "neighbor_id",
+        F.round("sim", 9).alias("sim"),
+    ).orderBy("query_id", "rnk")

@@ -247,6 +247,7 @@ def load_all() -> None:
         extract_plans,
         interval_plans,
         ivfpq_plans,
+        ivfpq_trained_plans,
         lm_plans,
         ml_plans,
         multimodal_plans,
