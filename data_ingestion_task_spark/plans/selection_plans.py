@@ -109,7 +109,9 @@ def capped_by_key(
     ORDER BY score DESC, doc_id
     """,
 )
-def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_budget_selection(
+    spark: SparkSession, sf_dir: str, *, bucket: int = _BUCKET
+) -> DataFrame:
     """Quality-first token-budget selection: rank documents by an
     exact-integer quality score (distinct stopwords present, desc; ties
     by doc_id) and keep the prefix whose cumulative token count stays
@@ -126,7 +128,15 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
        ≤ 1024 rows per partition at any corpus size.
 
     Selection is cross-multiplied integers (``10·cum ≤ 4·T``) — no
-    float division anywhere, so the oracle matches bit-for-bit."""
+    float division anywhere, so the oracle matches bit-for-bit.
+
+    ``bucket`` is the doc_id bucket width (ADVICE r7 #5): widen it so
+    the (score, bucket)-grain frame (corpus/bucket rows) stays
+    executor-sized at the target scale — 1024 suits the test SFs; a
+    100 TB corpus of ~1e11 docs wants ~1e6 so the bucket frame is
+    ~1e5 rows. The oracle pins only the default: the bucket
+    decomposition is algebraically invisible (any width reproduces the
+    same global prefix sum), so non-default widths still match it."""
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", spark_norm_words("text").alias("ws"))
@@ -141,7 +151,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("score"),
-            F.floor(F.col("doc_id") / _BUCKET).alias("bucket"),
+            F.floor(F.col("doc_id") / bucket).alias("bucket"),
         )
     )
     tot = d.agg(F.sum("n_tok").alias("t"))
@@ -174,7 +184,11 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         d.join(F.broadcast(score_prior), "score")
-        .join(F.broadcast(bkt), ["score", "bucket"])
+        # The bucket frame is corpus/bucket rows — broadcastable at the
+        # test SFs but NOT at the 100 TB mandate, so the join strategy
+        # is left to AQE (which still broadcasts it when it fits)
+        # instead of being forced (ADVICE r7 #5).
+        .join(bkt, ["score", "bucket"])
         .withColumn(
             "cum",
             F.col("score_prior") + F.col("bucket_prior") + F.sum("n_tok").over(wd),

@@ -161,3 +161,18 @@ def test_curate_corpus_flags_match_registered_queries(spark, sf_dir):
         assert r["keep"] == (
             r["quality_keep"] and not r["exact_dup"] and r["lang_kept"] and r["source_kept"]
         )
+
+
+def test_token_budget_bucket_width_invisible(spark, sf_dir):
+    """The bucket decomposition must be algebraically invisible: any
+    width reproduces the same global prefix sum, so the 100 TB knob
+    (widen the bucket so the bucket-grain frame stays executor-sized)
+    never changes results (ADVICE r7 #5)."""
+    from data_ingestion_task_spark.plans.selection_plans import (
+        token_budget_selection,
+    )
+
+    base = token_budget_selection(spark, sf_dir).collect()
+    wide = token_budget_selection(spark, sf_dir, bucket=64).collect()
+    narrow = token_budget_selection(spark, sf_dir, bucket=7).collect()
+    assert base == wide == narrow and base
