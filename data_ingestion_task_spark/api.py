@@ -161,6 +161,10 @@ def curate_corpus(
     lang_cap: int = 60,
     source_col: str | None = None,
     domain_cap: int = 30,
+    ppx_scores: DataFrame | None = None,
+    ppx_band: tuple[float, float] | None = None,
+    dsir_scores: DataFrame | None = None,
+    dsir_floor: float | None = None,
 ) -> DataFrame:
     """Training-corpus curation in one call: the registered quality /
     dedup / selection operators composed the way a pretraining build
@@ -175,7 +179,37 @@ def curate_corpus(
       ``source_col`` are given) — survived the deterministic
       hash-ranked per-language / per-domain caps
       (plans/selection_plans ``capped_by_key``, same salts as the
-      registered queries).
+      registered queries);
+    - ``ppx_kept`` (when ``ppx_scores`` + ``ppx_band`` are given) —
+      the doc's ``avg_nll`` lies inside ``[lo, hi]``: the CCNet-style
+      perplexity band, fed by the certified
+      ``char_trigram_perplexity`` output (or any ``(id, avg_nll)``
+      frame). Docs absent from the score frame (e.g. shorter than one
+      trigram — no model support) are NOT kept, matching CCNet's
+      treatment of unscorable fragments;
+    - ``dsir_kept`` (when ``dsir_scores`` + ``dsir_floor`` are
+      given) — ``dsir_logweight ≥ floor``: the DSIR importance floor,
+      fed by the certified ``dsir_importance_weights`` output (or any
+      ``(id, dsir_logweight)`` frame); absent docs are NOT kept.
+
+    FLAG SEMANTICS (independent stages, by design): every flag is
+    computed over the FULL input, not over the other stages'
+    survivors — so the per-language/per-domain cap slots can be
+    consumed by docs another stage drops, and the post-filter corpus
+    may land under the caps. That is what makes each flag auditable
+    in isolation (each column reproduces its registered query's
+    verdict on the same input). When the caps must bind on the final
+    corpus exactly, run two passes: ``filter(keep)`` on a first call
+    WITHOUT caps, then a second call with only the caps. ``keep`` is
+    always a non-NULL boolean: a NULL ``text_col`` yields NULL Gopher
+    metrics, which coalesce to ``quality_keep = false`` (a doc with
+    no text fails quality, it doesn't escape the filter).
+
+    The score frames are ARGUMENTS (not recomputed here) because they
+    are corpus-level artifacts a pretraining build materializes once
+    and reuses across curation sweeps — banding/flooring is a cheap
+    broadcast-or-shuffle join on ``id_col``, re-scoring is a full
+    corpus pass.
 
     Every stage is a column projection, hash aggregate, or bounded
     window — no Python boundary, no collect; filter ``keep`` and join
@@ -187,6 +221,11 @@ def curate_corpus(
     from .plans.quality_plans import gopher_flags
     from .plans.selection_plans import capped_by_key
 
+    if (ppx_scores is None) != (ppx_band is None):
+        raise ValueError("ppx_scores and ppx_band must be passed together")
+    if (dsir_scores is None) != (dsir_floor is None):
+        raise ValueError("dsir_scores and dsir_floor must be passed together")
+
     q = gopher_flags(docs, text_col=text_col, keep_cols=(id_col,)).withColumnRenamed(
         "keep", "quality_keep"
     )
@@ -197,8 +236,45 @@ def curate_corpus(
         .select(id_col, "exact_dup")
     )
     carry = [c for c in (lang_col, source_col) if c]
-    out = docs.select(id_col, *carry).join(q, id_col).join(fp, id_col)
+    out = (
+        docs.select(id_col, *carry)
+        .join(q, id_col)
+        .join(fp, id_col)
+        # NULL text ⇒ NULL Gopher metrics ⇒ NULL quality_keep; a doc
+        # with no text fails quality rather than making keep NULL
+        # (ADVICE r7 #3).
+        .withColumn("quality_keep", F.coalesce("quality_keep", F.lit(False)))
+    )
     keep = F.col("quality_keep") & ~F.col("exact_dup")
+    for scores, flag, pred in (
+        (
+            ppx_scores,
+            "ppx_kept",
+            (
+                None
+                if ppx_band is None
+                else F.col("avg_nll").between(*ppx_band)
+            ),
+        ),
+        (
+            dsir_scores,
+            "dsir_kept",
+            (
+                None
+                if dsir_floor is None
+                else F.col("dsir_logweight") >= F.lit(dsir_floor)
+            ),
+        ),
+    ):
+        if scores is None:
+            continue
+        flagged = scores.select(
+            id_col, F.coalesce(pred, F.lit(False)).alias(flag)
+        )
+        out = out.join(flagged, id_col, "left").withColumn(
+            flag, F.coalesce(F.col(flag), F.lit(False))
+        )
+        keep = keep & F.col(flag)
     for col, cap, salt, flag in (
         (lang_col, lang_cap, "lbs", "lang_kept"),
         (source_col, domain_cap, "dfc", "source_kept"),

