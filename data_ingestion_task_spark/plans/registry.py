@@ -262,6 +262,7 @@ def load_all() -> None:
         selection_plans,
         skew_plans,
         text_plans,
+        tpch_more_plans,
         tpch_plans,
         upsert_plans,
         vector_plans,
