@@ -131,7 +131,13 @@ def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SAMPLE)
         .persist()  # scanned by both trainers' rounds + init collect
     )
-    cb = train_ivf_codebook(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS)
+    # The trained codebook is nlist-sized (~sample/25 rows) but its
+    # LINEAGE is the whole 2-round Lloyd chain, and downstream it is
+    # re-evaluated by the build's centroid collect, the assignment
+    # broadcast, and the probe broadcast — persist the tiny frame so
+    # the chain runs once (bit-identical results, measured ~2× on the
+    # registered query's wall at sf0.1).
+    cb = train_ivf_codebook(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
     books = collect_codebooks(
         train_pq_codebooks_df(
             smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS
@@ -153,9 +159,13 @@ def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage runs codes-only candidate rows (SCALE.md §0b).
         broadcast_queries=True,
     )
-    return res.select(
+    out = res.select(
         "query_id",
         F.col("rank").alias("rnk"),
         "neighbor_id",
         F.round("sim", 9).alias("sim"),
     ).orderBy("query_id", "rnk")
+    # repo caching contract: the persisted training inputs ride out on
+    # the result for the caller to release after collecting
+    out._cached_deps = [smp, cb]
+    return out
