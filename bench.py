@@ -183,24 +183,38 @@ def _trend_vs_previous_round(times: dict[str, float], total: float, sf: float) -
             )
         )
         common = set(times) & set(pq)
-        return {
-            "vs_prev": {
-                "prev_round": os.path.basename(path),
-                "prev_total": prev_total,
-                "delta_total": round(total - prev_total, 3),
-                # the honest trend: same-query totals this round vs prev
-                # (raw delta_total conflates growth of the query set).
-                "common_total": round(sum(times[n] for n in common), 3),
-                "common_prev_total": round(sum(pq[n] for n in common), 3),
-                "common_delta": round(
-                    sum(times[n] - pq[n] for n in common), 3
-                ),
-                "new_queries": sorted(set(times) - set(pq)),
-                "regressions_ge_500ms": regressions,
-                # full query_deltas dropped: reconstructable from the
-                # queries maps, and the bulk risked truncating them.
-            }
+        # A tail-scraped artifact may cover only part of the real query
+        # map (the driver's stdout capture truncates the front): then
+        # "absent from prev" does NOT mean "new this round", and
+        # prev_total covers a different set than the visible queries.
+        # Flag partial coverage and report a count instead of a
+        # misleading 60-name "new_queries" list (r8 cleanup).
+        prev_n = prev.get("n_queries")
+        if prev_n is None and isinstance(prev.get("tail"), str):
+            mnq = re.search(r'"n_queries":\s*(\d+)', prev["tail"])
+            prev_n = int(mnq.group(1)) if mnq else None
+        partial = prev_n is not None and len(pq) < prev_n
+        vs = {
+            "prev_round": os.path.basename(path),
+            "prev_total": prev_total,
+            "delta_total": round(total - prev_total, 3),
+            # the honest trend: same-query totals this round vs prev
+            # (raw delta_total conflates growth of the query set).
+            "common_total": round(sum(times[n] for n in common), 3),
+            "common_prev_total": round(sum(pq[n] for n in common), 3),
+            "common_delta": round(
+                sum(times[n] - pq[n] for n in common), 3
+            ),
+            "regressions_ge_500ms": regressions,
+            # full query_deltas dropped: reconstructable from the
+            # queries maps, and the bulk risked truncating them.
         }
+        if partial:
+            vs["prev_coverage"] = f"{len(pq)}/{prev_n} queries visible"
+            vs["not_in_prev_visible"] = len(set(times) - set(pq))
+        else:
+            vs["new_queries"] = sorted(set(times) - set(pq))
+        return {"vs_prev": vs}
     return {}
 
 
