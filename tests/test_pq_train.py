@@ -78,3 +78,41 @@ def test_trained_query_contract(spark, sf_dir):
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
         assert all(-1.000001 <= s <= 1.000001 for s in sims)
+
+
+def test_trained_books_empty_cluster_keeps_previous(spark):
+    """Rows 0 and 1 identical ⇒ code 1's centroid equals code 0's, so
+    every tie resolves to the lower code and code 1 never gets a
+    member — it must KEEP its init centroid through every round (the
+    COALESCE path, mirroring the numpy trainer's empty-cluster rule
+    and the SQL twin's LEFT JOIN)."""
+    import math
+
+    rows = []
+    for i in range(17):
+        base = 0.7 if i <= 1 else float(i)  # rows 0,1 identical
+        v = [math.cos(base * (d + 1) / 3.0) for d in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "neighbor_id long, embedding array<double>")
+    # rounds=1: the tie (identical centroids 0 and 1) is what empties
+    # code 1; after the DECIMAL-quantized mean update the two centroids
+    # are no longer bit-identical, so later rounds may legitimately
+    # repopulate it — the keep-previous path is a per-round property
+    books = collect_codebooks(
+        train_pq_codebooks_df(df, dim=16, m=2, n_codes=16, rounds=1), 2, 16, 8
+    )
+    # the init slice of row 1 = normalized row 1's subspace slices
+    from data_ingestion_task_spark.operators.knn import normalize_embeddings
+
+    norm = {
+        r["neighbor_id"]: r["embedding"]
+        for r in normalize_embeddings(df).collect()
+    }
+    for j in range(2):
+        init_slice = norm[1][j * 8 : (j + 1) * 8]
+        assert list(books[j][1]) == init_slice  # untouched init
+    # code 0 DID absorb members, so its centroid moved off the init
+    moved = any(
+        list(books[j][0]) != norm[0][j * 8 : (j + 1) * 8] for j in range(2)
+    )
+    assert moved
