@@ -366,8 +366,17 @@ def knn_topk(
     elif codebook is not None and dim % 8 == 0:
         from .ivfpq import knn_join_ivfpq  # deferred: ivfpq imports this module
 
+        # Query-matrix broadcast is the measured 30× win for the ADC
+        # stage (candidate rows carry codes only — SCALE.md §0b), but
+        # it collects the query side to the driver, so it is gated on
+        # the query matrix staying dimension-table-sized: ≤ 64 MiB of
+        # float64 (the one extra count rides the smaller side; both
+        # layouts are bit-identical, test-asserted, so the gate is a
+        # pure performance decision).
+        nq = query_df.count()
         out = knn_join_ivfpq(
             idx, query_df, k, codebook=codebook,
+            broadcast_queries=nq * dim * 8 <= (64 << 20),
             query_id=query_id, index_id=index_id, vec_col=vec_col,
         )
     else:
