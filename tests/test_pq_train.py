@@ -116,3 +116,23 @@ def test_trained_books_empty_cluster_keeps_previous(spark):
         list(books[j][0]) != norm[0][j * 8 : (j + 1) * 8] for j in range(2)
     )
     assert moved
+
+
+def test_trained_query_release_contract(spark, sf_dir):
+    """ivfpq_trained_topk persists its training sample and codebook;
+    api.release on the result must return the session's persistent-RDD
+    count to baseline (the repo caching contract)."""
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.ivfpq_trained_plans import (
+        ivfpq_trained_topk,
+    )
+
+    def n_persistent() -> int:
+        return spark._jsparkSession.sparkContext().getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = ivfpq_trained_topk(spark, sf_dir)
+    df.collect()
+    assert n_persistent() > base  # the sample + codebook are cached
+    api.release(df)
+    assert n_persistent() == base
