@@ -190,7 +190,9 @@ def curate_corpus(
     - ``dsir_kept`` (when ``dsir_scores`` + ``dsir_floor`` are
       given) — ``dsir_logweight ≥ floor``: the DSIR importance floor,
       fed by the certified ``dsir_importance_weights`` output (or any
-      ``(id, dsir_logweight)`` frame); absent docs are NOT kept.
+      ``(id, dsir_logweight)`` frame); absent docs are NOT kept. A
+      score frame with repeated ids never duplicates output rows: the
+      doc is kept if ANY of its score rows passes.
 
     FLAG SEMANTICS (independent stages, by design): every flag is
     computed over the FULL input, not over the other stages'
@@ -268,8 +270,15 @@ def curate_corpus(
     ):
         if scores is None:
             continue
-        flagged = scores.select(
-            id_col, F.coalesce(pred, F.lit(False)).alias(flag)
+        # One flag row per id even if the score frame carries repeated
+        # ids (e.g. a unioned re-scoring run): a doc is kept if ANY of
+        # its score rows passes — the left join must never duplicate
+        # output rows, "one row per input doc" is the facade's
+        # contract (code-review r8 catch).
+        flagged = (
+            scores.select(id_col, F.coalesce(pred, F.lit(False)).alias(flag))
+            .groupBy(id_col)
+            .agg(F.max(flag).alias(flag))
         )
         out = out.join(flagged, id_col, "left").withColumn(
             flag, F.coalesce(F.col(flag), F.lit(False))

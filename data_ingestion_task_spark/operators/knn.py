@@ -363,7 +363,11 @@ def knn_topk(
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows * 32,
         )
-    elif codebook is not None and dim % 8 == 0:
+    # n >= 16: knn_join_ivfpq trains PQ codebooks internally, and the
+    # smallest codebook is 16 codes — a sub-16-row index must keep
+    # falling through to LSH instead of crashing in training, the same
+    # guard the PQ band carries (code-review r8 catch).
+    elif codebook is not None and dim % 8 == 0 and n >= 16:
         from .ivfpq import knn_join_ivfpq  # deferred: ivfpq imports this module
 
         # Query-matrix broadcast is the measured 30× win for the ADC

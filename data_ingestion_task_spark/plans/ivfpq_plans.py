@@ -171,6 +171,19 @@ def ivfpq_recall_audit(
     q, x = _split(spark, sf_dir)
     q = q.filter(F.col("query_id") % sample_mod == 0).select("query_id", "embedding")
     x = x.select("neighbor_id", "embedding")
+    nq = q.count()
+    if nq == 0:
+        # A corpus too small for the 1-in-50 sample to hit any query
+        # would otherwise surface as a bare ZeroDivisionError below
+        # (ADVICE r7 #4) — match the empty-centroid guard style. The
+        # guard runs BEFORE the exact baseline is persisted/computed so
+        # the error path neither leaks a cached frame nor pays for a
+        # pointless exact search (code-review r8 catch).
+        raise ValueError(
+            f"ivfpq_recall_audit: query sample is empty (sample_mod="
+            f"{sample_mod} selected 0 of the query ids); lower "
+            "sample_mod for corpora this small"
+        )
     n = x.count()
     cent_mod = max(25, n // isqrt(n)) if n else 25
     exact = (
@@ -180,16 +193,6 @@ def ivfpq_recall_audit(
         .persist()
     )
     exact.count()
-    nq = q.count()
-    if nq == 0:
-        # A corpus too small for the 1-in-50 sample to hit any query
-        # would otherwise surface as a bare ZeroDivisionError below
-        # (ADVICE r7 #4) — match the empty-centroid guard style.
-        raise ValueError(
-            f"ivfpq_recall_audit: query sample is empty (sample_mod="
-            f"{sample_mod} selected 0 of the query ids); lower "
-            "sample_mod for corpora this small"
-        )
     idx = build_ivfpq_index(x, centroid_mod=cent_mod, codebooks=_BOOKS)
     lists = idx.lists.persist()
     idx = idx._replace(lists=lists)

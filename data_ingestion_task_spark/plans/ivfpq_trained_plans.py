@@ -114,11 +114,11 @@ _ORACLE = f"""
 def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search with BOTH codebooks trained (the production
     recommendation the static-codebook ``ann_ivfpq_topk`` stands in
-    for): a deterministic ≤{_SAMPLE}-row hash-sample feeds
-    ``train_ivf_codebook`` ({_ROUNDS} spherical Lloyd rounds, seeds =
-    sample ids ≡ 1 mod {_SEED_MOD}) and ``train_pq_codebooks_df``
-    ({_ROUNDS} Euclidean Lloyd rounds per subspace, init = the
-    sample's first {_N_CODES} ids); the trained artifacts then drive
+    for): a deterministic ≤1024-row hash-sample (``_SAMPLE``) feeds
+    ``train_ivf_codebook`` (2 spherical Lloyd rounds, seeds =
+    sample ids ≡ 1 mod 25) and ``train_pq_codebooks_df``
+    (2 Euclidean Lloyd rounds per subspace, init = the
+    sample's first 16 ids); the trained artifacts then drive
     the same probe → ADC → exact-re-rank pipeline. Every trained sum
     is DECIMAL-quantized, so the DuckDB twin reconstructs both
     codebooks bit-exactly and the gate checks the full lifecycle, not

@@ -133,7 +133,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 analogue: the top-{_Q10_TOPN} customers by revenue
+    """TPC-H Q10 analogue: the top-20 (``_Q10_TOPN``) customers by revenue
     lost to returned items in one quarter. Both selective predicates
     (returnflag, date window) sit on scan columns and push to the
     parquet readers; the customer attributes and nation name ride the

@@ -216,3 +216,22 @@ def test_topk_codebook_wrong_dim_falls_to_lsh(spark):
     ).collect()
     assert routed == lsh
     assert len(routed) > 0
+
+
+def test_topk_codebook_tiny_index_falls_to_lsh(spark):
+    # a sub-16-row index cannot feed IVF-PQ's internal PQ training
+    # (16-code minimum), so even with a codebook the facade must fall
+    # through to LSH instead of crashing — the same contract as the PQ
+    # band's small-index guard
+    idx = _toy_vectors(spark, 12, id_col="neighbor_id")
+    q = _toy_vectors(spark, 5, id_col="query_id")
+    cb = _toy_codebook(spark, idx)
+    routed = knn_topk(
+        idx, q, k=3, dim=8, max_index_rows=10, n_bits=2,
+        pq_overscan=None, codebook=cb,
+    ).orderBy("query_id", "rank").collect()
+    lsh = knn_join_lsh(idx, q, k=3, n_bits=2, dim=8).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert routed == lsh
+    assert len(routed) > 0

@@ -127,12 +127,10 @@ def test_trained_query_release_contract(spark, sf_dir):
         ivfpq_trained_topk,
     )
 
-    def n_persistent() -> int:
-        return spark._jsparkSession.sparkContext().getPersistentRDDs().size()
-
-    base = n_persistent()
     df = ivfpq_trained_topk(spark, sf_dir)
     df.collect()
-    assert n_persistent() > base  # the sample + codebook are cached
+    deps = df._cached_deps
+    assert len(deps) == 2  # the sample + the trained codebook
+    assert all(d.storageLevel.useMemory for d in deps)
     api.release(df)
-    assert n_persistent() == base
+    assert not any(d.storageLevel.useMemory for d in deps)

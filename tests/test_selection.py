@@ -207,11 +207,10 @@ def test_curate_corpus_ppx_band_and_dsir_floor(spark, sf_dir):
         dsir_floor=floor,
     )
     rows = {r["doc_id"]: r for r in out.collect()}
-    api.release(ppx)
-    assert len(rows) == docs.count()
-
     scored = {r["doc_id"]: r["avg_nll"] for r in ppx.collect()}
     weights = {r["doc_id"]: r["dsir_logweight"] for r in dsir.collect()}
+    api.release(ppx)  # release LAST: the contract is terminal
+    assert len(rows) == docs.count()
     n_ppx = n_dsir = 0
     for d, r in rows.items():
         assert r["keep"] is not None
