@@ -165,6 +165,7 @@ def curate_corpus(
     ppx_band: tuple[float, float] | None = None,
     dsir_scores: DataFrame | None = None,
     dsir_floor: float | None = None,
+    dsir_target: Column | None = None,
 ) -> DataFrame:
     """Training-corpus curation in one call: the registered quality /
     dedup / selection operators composed the way a pretraining build
@@ -180,19 +181,26 @@ def curate_corpus(
       hash-ranked per-language / per-domain caps
       (plans/selection_plans ``capped_by_key``, same salts as the
       registered queries);
-    - ``ppx_kept`` (when ``ppx_scores`` + ``ppx_band`` are given) —
-      the doc's ``avg_nll`` lies inside ``[lo, hi]``: the CCNet-style
-      perplexity band, fed by the certified
-      ``char_trigram_perplexity`` output (or any ``(id, avg_nll)``
-      frame). Docs absent from the score frame (e.g. shorter than one
-      trigram — no model support) are NOT kept, matching CCNet's
-      treatment of unscorable fragments;
-    - ``dsir_kept`` (when ``dsir_scores`` + ``dsir_floor`` are
-      given) — ``dsir_logweight ≥ floor``: the DSIR importance floor,
-      fed by the certified ``dsir_importance_weights`` output (or any
-      ``(id, dsir_logweight)`` frame); absent docs are NOT kept. A
-      score frame with repeated ids never duplicates output rows: the
-      doc is kept if ANY of its score rows passes.
+    - ``ppx_kept`` (when ``ppx_band`` is given) — the doc's
+      ``avg_nll`` lies inside ``[lo, hi]``: the CCNet-style
+      perplexity band. Fed by ``ppx_scores`` (the certified
+      ``char_trigram_perplexity`` output, or any ``(id, avg_nll)``
+      frame); when ``ppx_scores`` is omitted the scores are computed
+      HERE from the raw docs via the same certified library function
+      (``functions.corpus_scores.trigram_nll``). Docs absent from the
+      score frame (e.g. shorter than one trigram — no model support)
+      are NOT kept, matching CCNet's treatment of unscorable
+      fragments;
+    - ``dsir_kept`` (when ``dsir_floor`` is given) —
+      ``dsir_logweight ≥ floor``: the DSIR importance floor, fed by
+      ``dsir_scores`` (the certified ``dsir_importance_weights``
+      output, or any ``(id, dsir_logweight)`` frame); when
+      ``dsir_scores`` is omitted the weights are computed HERE via
+      ``functions.corpus_scores.dsir_logweights``, which then
+      requires ``dsir_target`` (the in-domain predicate, e.g.
+      ``F.col("lang") == "en"``). Absent docs are NOT kept. A score
+      frame with repeated ids never duplicates output rows: the doc
+      is kept if ANY of its score rows passes.
 
     FLAG SEMANTICS (independent stages, by design): every flag is
     computed over the FULL input, not over the other stages'
@@ -207,11 +215,15 @@ def curate_corpus(
     metrics, which coalesce to ``quality_keep = false`` (a doc with
     no text fails quality, it doesn't escape the filter).
 
-    The score frames are ARGUMENTS (not recomputed here) because they
+    The score-frame ARGUMENTS remain the production path because they
     are corpus-level artifacts a pretraining build materializes once
     and reuses across curation sweeps — banding/flooring is a cheap
     broadcast-or-shuffle join on ``id_col``, re-scoring is a full
-    corpus pass.
+    corpus pass. The raw-docs path (band/floor without a score frame)
+    trades that pass for convenience on one-shot sweeps; when it
+    computes perplexity itself, the library's persisted trigram grain
+    rides out on ``_cached_deps`` (release via ``api.release`` after
+    collecting).
 
     Every stage is a column projection, hash aggregate, or bounded
     window — no Python boundary, no collect; filter ``keep`` and join
@@ -219,14 +231,33 @@ def curate_corpus(
     (MinHash/SemDeDup) are deliberately separate operators: they need
     corpus-level tuning before a blanket drop (see plans/dedup_plans,
     plans/embedding_curation_plans)."""
+    from .functions.corpus_scores import dsir_logweights, trigram_nll
     from .functions.text import fingerprint_md5
     from .plans.quality_plans import gopher_flags
     from .plans.selection_plans import capped_by_key
 
-    if (ppx_scores is None) != (ppx_band is None):
+    if ppx_scores is not None and ppx_band is None:
         raise ValueError("ppx_scores and ppx_band must be passed together")
-    if (dsir_scores is None) != (dsir_floor is None):
+    if dsir_scores is not None and dsir_floor is None:
         raise ValueError("dsir_scores and dsir_floor must be passed together")
+    if dsir_target is not None and dsir_scores is not None:
+        raise ValueError(
+            "dsir_target is the raw-docs scoring knob; it conflicts with a "
+            "precomputed dsir_scores frame"
+        )
+    cached_deps: list[DataFrame] = []
+    if ppx_band is not None and ppx_scores is None:
+        ppx_scores = trigram_nll(docs, text_col=text_col, id_col=id_col)
+        cached_deps.extend(ppx_scores._cached_deps)
+    if dsir_floor is not None and dsir_scores is None:
+        if dsir_target is None:
+            raise ValueError(
+                "dsir_floor without dsir_scores requires dsir_target (the "
+                "in-domain predicate, e.g. F.col('lang') == 'en')"
+            )
+        dsir_scores = dsir_logweights(
+            docs, dsir_target, text_col=text_col, id_col=id_col
+        )
 
     q = gopher_flags(docs, text_col=text_col, keep_cols=(id_col,)).withColumnRenamed(
         "keep", "quality_keep"
@@ -299,7 +330,10 @@ def curate_corpus(
             flag, F.coalesce(F.col(flag), F.lit(False))
         )
         keep = keep & F.col(flag)
-    return out.withColumn("keep", keep)
+    out = out.withColumn("keep", keep)
+    if cached_deps:
+        out._cached_deps = cached_deps
+    return out
 
 
 def release(df: DataFrame) -> None:

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import normalized_for_fingerprint
+from ..functions.corpus_scores import trigram_nll
 from ..sources.tables import load_table
 from ._text_shared import D_NORM_WORDS, spark_norm_words
 from .registry import query
@@ -91,55 +91,17 @@ _D_NORM_TEXT = (
 def char_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus's own
     character-trigram unigram model (the portable CCNet/KenLM quality
-    proxy): ``avg_nll = -mean_i ln(count(tri_i) / total_trigrams)``.
-    ``exp(avg_nll)`` is the perplexity; filtering its head/tail is the
-    CCNet quality split. The trigram rate table is alphabet-bounded
-    (≤ 37³ rows at any corpus size) and broadcast back onto the
-    (doc, trigram, count) grain; both corpus-scale aggregations are
-    map-side combined. Docs shorter than one trigram are excluded (no
-    model support).
-
-    Implementation notes: overlapping trigrams come from ONE JVM regex
-    pass (zero-width lookahead ``(?=(.{3})).``) — 3× faster than an
-    interpreted higher-order ``transform``+``substring`` chain
-    (measured at sf0.1); the model and the per-doc score both derive
-    from the persisted (doc_id, tri, k) grain so the explode runs once
-    — the oracle states instance-grain sums, which equal these
+    proxy). Thin ``load_table`` wrapper around the library function
+    ``functions.corpus_scores.trigram_nll`` (extracted r9 so
+    ``api.curate_corpus`` can score raw docs itself) — the certified
+    expressions live there; this adds only the oracle's ORDER BY.
+    The oracle states instance-grain sums, which equal the library's
     count-grain sums exactly because the per-trigram nll is DECIMAL.
-    Caller contract: the persisted grain rides out as
+    Caller contract: the persisted (doc_id, tri, k) grain rides out as
     ``_cached_deps`` (release via ``api.release``)."""
-    t = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", normalized_for_fingerprint(F.col("text")).alias("txt"))
-        .filter(F.length("txt") >= 3)
-    )
-    tri = t.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.col("txt"), F.lit("(?=(.{3}))."), 1)
-        ).alias("tri"),
-    )
-    a = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("k")).persist()
-    c = a.groupBy("tri").agg(F.sum("k").alias("cnt"))
-    tot = c.agg(F.sum("cnt").alias("n"))
-    rate = c.crossJoin(F.broadcast(tot)).select(
-        "tri",
-        F.round(-F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("nll"),
-    )
-    out = (
-        a.join(F.broadcast(rate), "tri")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_tri"),
-            F.round(
-                F.sum(F.col("k") * F.col("nll")).cast("double") / F.sum("k"), 6
-            ).alias("avg_nll"),
-        )
-        .orderBy("doc_id")
-    )
-    out._cached_deps = [a]
+    scored = trigram_nll(load_table(spark, sf_dir, "documents"))
+    out = scored.orderBy("doc_id")
+    out._cached_deps = scored._cached_deps
     return out
 
 

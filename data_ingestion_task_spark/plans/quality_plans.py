@@ -37,14 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.corpus_scores import DSIR_BUCKETS, dsir_logweights
 from ..functions.text import hash64, normalized_for_fingerprint, words
 from ..sources.tables import load_table
 from .registry import query
 
 #: Span width (words) for exact-substring detection.
 SPAN_K = 8
-#: DSIR hashed-unigram bucket count.
-DSIR_BUCKETS = 256
 
 _D_NORM_TEXT = (
     "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
@@ -187,52 +186,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc scores the mean log ratio of its words' buckets. Positive
     ⇒ looks like the target distribution; resample ∝ exp(weight).
 
-    Parity armor: the ln() argument is a ratio of exactly-representable
-    integer products (counts ≤ ~1e7 per side, so each product < 2^53),
-    cast to double for ONE identical IEEE division per engine; the 256
-    resulting log-ratios are rounded to 6 dp and cast DECIMAL before
-    the per-doc sum, so summation order cannot perturb the hash."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", normalized_for_fingerprint(F.col("text")).alias("t")
-    )
-    w = d.select(
-        "doc_id", "lang", F.explode(F.split(F.col("t"), " ")).alias("word")
-    ).select("doc_id", "lang", (hash64(F.col("word")) % DSIR_BUCKETS).alias("bucket"))
-    r = w.groupBy("bucket").agg(F.count("*").alias("cr"))
-    t = w.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("ct"))
-    tot = w.agg(
-        F.count("*").alias("R"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("T"),
-    )
-    rate = (
-        r.join(t, "bucket", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    ((F.col("ct") + 1) * (F.col("R") + DSIR_BUCKETS)).cast("double")
-                    / ((F.col("cr") + 1) * (F.col("T") + DSIR_BUCKETS)).cast("double")
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("lr"),
-        )
-    )
-    return (
-        w.join(F.broadcast(rate), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value(F.col("lang")).alias("lang"),
-            F.count("*").alias("n_words"),
-            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias(
-                "dsir_logweight"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    Thin ``load_table`` wrapper around the library function
+    ``functions.corpus_scores.dsir_logweights`` (extracted r9 so
+    ``api.curate_corpus`` can score raw docs itself) — the certified
+    expressions and their parity armor (integer-product ln arguments,
+    6-dp DECIMAL log-ratios summed exactly) live there; this adds only
+    the target predicate, the carried ``lang`` column, and the
+    oracle's ORDER BY."""
+    return dsir_logweights(
+        load_table(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        carry_cols=("lang",),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -227,11 +227,64 @@ def test_curate_corpus_ppx_band_and_dsir_floor(spark, sf_dir):
     assert 0 < n_ppx < len(rows)
     assert 0 < n_dsir < len(rows)
 
-    # score frame without its threshold (and vice versa) is an error
+    # score frame without its threshold is an error; a floor without a
+    # score frame now takes the raw-docs path, which needs the target
+    # predicate (r9); a target predicate conflicts with a score frame
     with pytest.raises(ValueError, match="ppx_scores and ppx_band"):
         api.curate_corpus(docs, ppx_scores=ppx)
-    with pytest.raises(ValueError, match="dsir_scores and dsir_floor"):
+    with pytest.raises(ValueError, match="requires dsir_target"):
         api.curate_corpus(docs, dsir_floor=0.0)
+    with pytest.raises(ValueError, match="conflicts with a"):
+        api.curate_corpus(
+            docs,
+            dsir_scores=dsir,
+            dsir_floor=0.0,
+            dsir_target=F.col("lang") == "en",
+        )
+
+
+def test_curate_corpus_raw_docs_scoring(spark, sf_dir):
+    """The r9 raw-docs path: a band/floor WITHOUT a precomputed score
+    frame makes curate_corpus score the docs itself through the same
+    certified library functions — flags must match the score-frame
+    path row for row, and the internally-persisted trigram grain must
+    ride out on _cached_deps for api.release."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.lm_plans import char_trigram_perplexity
+    from data_ingestion_task_spark.plans.quality_plans import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = 5.30, 5.42
+    floor = -0.0142
+    raw = api.curate_corpus(
+        docs,
+        ppx_band=(lo, hi),
+        dsir_floor=floor,
+        dsir_target=F.col("lang") == "en",
+    )
+    assert raw._cached_deps  # the trigram grain, for api.release
+    got = {r["doc_id"]: (r["ppx_kept"], r["dsir_kept"], r["keep"])
+           for r in raw.collect()}
+    ppx = char_trigram_perplexity(spark, sf_dir)
+    dsir = dsir_importance_weights(spark, sf_dir)
+    fed = api.curate_corpus(
+        docs,
+        ppx_scores=ppx,
+        ppx_band=(lo, hi),
+        dsir_scores=dsir,
+        dsir_floor=floor,
+    )
+    want = {r["doc_id"]: (r["ppx_kept"], r["dsir_kept"], r["keep"])
+            for r in fed.collect()}
+    api.release(raw)
+    api.release(ppx)
+    assert got == want
+    assert any(k for _, _, k in got.values())
+    assert not all(p for p, _, _ in got.values())
 
 
 def test_curate_corpus_null_text_keep_is_boolean(spark):
