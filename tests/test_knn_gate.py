@@ -218,6 +218,33 @@ def test_topk_codebook_wrong_dim_falls_to_lsh(spark):
     assert len(routed) > 0
 
 
+def test_topk_codebook_beats_pq_band(spark):
+    # an explicitly supplied codebook takes precedence over the PQ
+    # band — the caller's trained artifact is never silently dropped
+    # (ADVICE r8 #2): inside the band (cap < n <= 32*cap, pq_overscan
+    # set) the facade must route to knn_join_ivfpq, not knn_join_pq
+    from data_ingestion_task_spark.operators.ivfpq import knn_join_ivfpq
+
+    idx = _toy_vectors(spark, 20, id_col="neighbor_id")
+    q = _toy_vectors(spark, 5, id_col="query_id")
+    cb = _toy_codebook(spark, idx)
+    routed = knn_topk(
+        idx, q, k=3, dim=8, max_index_rows=10, pq_overscan=16,
+        codebook=cb,
+    )
+    got = routed.orderBy("query_id", "rank").collect()
+    direct = knn_join_ivfpq(idx, q, k=3, codebook=cb).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert got == direct
+    assert len(got) > 0
+    # the codebook route persists the query side around its routing
+    # count (ADVICE r8 #1) — both handles must ride out for release
+    assert len(routed._cached_deps) == 2
+    for dep in routed._cached_deps:
+        dep.unpersist()
+
+
 def test_topk_codebook_tiny_index_falls_to_lsh(spark):
     # a sub-16-row index cannot feed IVF-PQ's internal PQ training
     # (16-code minimum), so even with a codebook the facade must fall
