@@ -84,3 +84,202 @@ def first_occurrence_fingerprints(docs: DataFrame, text_col: str = "text") -> Da
     content fingerprint (the survivor SET of any exact dedup,
     whatever the survivor rule)."""
     return docs.select(fingerprint_md5(F.col(text_col)).alias("fingerprint")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time NEAR-dup gate (MinHash bands within the watermark horizon)
+# ---------------------------------------------------------------------------
+#
+# The near-dup twin of the exact gate above, completing the
+# batch/stream symmetry: the certified batch query
+# ``dedup_minhash_lsh`` (plans/dedup_plans.py:183) finds near-dup
+# PAIRS over the accumulated corpus; this gate drops an ARRIVING doc
+# when any of its LSH band keys was already claimed by a doc admitted
+# within the horizon — the at-ingest judgment call a 100 TB/day
+# pipeline makes before a doc ever reaches the corpus. Same signature
+# as the batch query (word 3-shingles → 64-bit shingle hash → 8
+# re-salted minhashes → 4 bands of 2), so batch and stream agree on
+# what "near-identical" means. Candidate-grain only, by design: the
+# batch query's exact-Jaccard verification needs both docs' shingle
+# sets, which bounded per-key state cannot hold — production runs this
+# gate at ingest and the verified batch pass periodically, exactly the
+# split the exact-dedup module docstring describes.
+#
+# Scale: state is ONE boolean + timestamp per live band key — bounded
+# by (admission rate × horizon × 4 bands), not corpus size; the only
+# exchange is the band-grain hash partition to the state shards. The
+# per-doc verdict (any band claimed?) never needs cross-batch data:
+# a doc's 4 band rows travel in the SAME micro-batch, so the rollup is
+# a plain intra-batch aggregate (foreachBatch), not a second stateful
+# operator.
+
+#: Same knobs as the batch query (plans/dedup_plans.py:36-37).
+_ND_SHINGLE_K = 3
+
+_ND_OUT_SCHEMA = "doc_id long, ts_ms long, band_dup boolean"
+_ND_STATE_SCHEMA = "claimed boolean"
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, text) → exploded (id, *carry, band_key): the SAME
+    shingle → minhash → band signature as the certified
+    ``dedup_minhash_lsh`` (expression-for-expression; that query's
+    DuckDB oracle pins it). Pure column work, so it runs identically
+    on batch and streaming frames — the test replays the stream's
+    claims through the batch output of this function."""
+    from ..functions.text import hash64, word_shingles
+    from ..plans.dedup_plans import N_BANDS, N_MINHASH
+
+    hs = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), _ND_SHINGLE_K), lambda s: hash64(s))
+    )
+
+    def sig(i: int) -> F.Column:
+        # single-parameter lambda — a (h, i) lambda would make
+        # transform() pass the ARRAY INDEX as the second argument
+        # (the plans/dedup_plans._minhash_sigs note)
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: hash64(F.concat(F.lit(f"{i}:"), h.cast("string"))),
+            )
+        ).alias(f"_sig{i}")
+
+    sigs = df.select(id_col, *carry_cols, hs.alias("_hs")).select(
+        id_col, *carry_cols, *[sig(i) for i in range(N_MINHASH)]
+    )
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.col(f"_sig{2 * b}").cast("string"),
+                F.lit(":"),
+                F.col(f"_sig{2 * b + 1}").cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    # A doc shorter than one shingle has NULL minhashes → NULL band
+    # keys; the batch query's equi-join never matches NULL, but a
+    # streaming groupBy WOULD group them — drop the rows so shingle-less
+    # docs are never near-dup candidates on either engine (they carry
+    # no signature to collide on).
+    return sigs.select(id_col, *carry_cols, F.explode(bands).alias("band_key")).filter(
+        F.col("band_key").isNotNull()
+    )
+
+
+def _claim_bands_fn(horizon_ms: int):
+    """Handler factory for the band-claim state machine: per band key,
+    the first-arriving row (ts, then doc_id — the same total order the
+    exact gate's first-arrival rule induces within a micro-batch, where
+    ``current_timestamp`` is a per-batch constant) claims the key if it
+    is unclaimed; every other row is a duplicate sighting. A DROPPED
+    doc's other bands still claim state — the batch LSH candidate rule
+    is pairwise over ALL earlier docs, admitted or not. Re-sightings
+    extend the key's TTL (horizon measured from last sighting)."""
+
+    def _claim(key: tuple, pdfs, state) -> "object":
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_ms", "doc_id"]
+        )
+        dup = [True] * len(pdf)
+        if not state.exists:
+            dup[0] = False
+        state.update((True,))
+        state.setTimeoutTimestamp(int(pdf["ts_ms"].max()) + horizon_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "ts_ms": pdf["ts_ms"].astype("int64"),
+                "band_dup": dup,
+            }
+        )
+
+    return _claim
+
+
+def near_dedup_band_verdicts(
+    stream: DataFrame,
+    horizon_s: int = 600,
+    ts_col: str = "_arrival_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming (doc_id, ts_ms, band_dup) band-grain verdicts: one row
+    per (doc, band), ``band_dup`` true when that band key was claimed
+    by an earlier arrival within the horizon. If ``ts_col`` is absent
+    an arrival-time column is stamped (processing-time semantics, the
+    inbox regime). Roll up ``max(band_dup)`` per doc within the
+    micro-batch for the admission verdict — :func:`start_neardup_ingest`
+    wires that rollup; this stage stays band-grain so the state stays
+    O(1) per key. ``ts_ms`` is derived JVM-side (``unix_millis``) so
+    the Python handler never touches timezone-laden timestamps (the
+    streaming/stateful.py lesson)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if ts_col not in stream.columns:
+        stream = stream.withColumn(ts_col, F.current_timestamp())
+    banded = minhash_band_keys(
+        stream.withWatermark(ts_col, f"{horizon_s} seconds"),
+        text_col=text_col,
+        carry_cols=(ts_col,),
+    ).withColumn("ts_ms", F.unix_millis(F.col(ts_col)))
+    return banded.groupBy("band_key").applyInPandasWithState(
+        _claim_bands_fn(horizon_s * 1000),
+        outputStructType=_ND_OUT_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def start_neardup_ingest(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    out_dir: str,
+    horizon_s: int = 600,
+    query_name: str = "neardup_verdicts",
+) -> StreamingQuery:
+    """inbox → consolidate → band-claim state machine → per-doc rollup
+    (``near_dup = max(band_dup)``, an intra-batch aggregate: a doc's
+    band rows share its micro-batch by construction) → parquet verdict
+    log at ``out_dir``. ``maxFilesPerTrigger=1`` forces one micro-batch
+    per file so the cross-batch state path is exercised;
+    ``availableNow`` drains the backlog and stops (the test run mode).
+    Admission = ``filter(~near_dup)`` over the verdict log joined back
+    to the doc store."""
+    stream = ingest_transform(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inbox)
+    )
+    verdicts = near_dedup_band_verdicts(stream, horizon_s=horizon_s)
+
+    def _rollup(batch: DataFrame, _batch_id: int) -> None:
+        (
+            batch.groupBy("doc_id")
+            .agg(
+                F.max("ts_ms").alias("ts_ms"),
+                F.max("band_dup").alias("near_dup"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        verdicts.writeStream.foreachBatch(_rollup)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
