@@ -238,6 +238,7 @@ def load_all() -> None:
         bucketed_plans,
         calibration_plans,
         corpus_plans,
+        curate_plans,
         dedup_plans,
         doctype_plans,
         embedding_curation_plans,
