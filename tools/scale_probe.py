@@ -8,6 +8,16 @@ flags anything above the 15x budget.
 
 Writes scale_probe.json. Timing notes (see SCALE.md): this VM stalls
 10-40s at random, so each (query, sf) takes min of --repeats runs.
+
+r9 action change: each query is FULLY materialized via the same
+JVM-side xxhash64-checksum aggregate bench.py uses. The previous
+``.count()`` action let Catalyst eliminate final projections, global
+sorts, and left-joins of unique aggregates — vacuously flat ratios for
+projection-shaped queries (caught when ``curated_corpus_audit``'s
+trigram+DSIR stages probed at 1.0x/0.79s while its component queries
+probe at 3-4.4x/7s). Artifacts were regenerated under the new action
+the same round; expect pre-r9 SCALE.md table walls to read LOW for
+projection-enders relative to the artifact.
 """
 
 from __future__ import annotations
@@ -77,6 +87,17 @@ def main() -> int:
     # JVM/codegen warmup so the first measured query doesn't pay it.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    from pyspark.sql import functions as F
+
+    def materialize(df) -> int:
+        """Force full computation of every column (bench.py's idiom);
+        one scalar row back to the driver."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        ).collect()[0]
+        return row["n"]
+
     out: dict[str, dict] = {}
     for name in names:
         spec = registry.REGISTRY[name]
@@ -87,7 +108,7 @@ def main() -> int:
             for _ in range(repeats):
                 gc.collect()
                 t0 = time.monotonic()
-                n_rows = spec.fn(spark, sf_dir).count()
+                n_rows = materialize(spec.fn(spark, sf_dir))
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
                 # Queries that persist an intermediate for intra-query
