@@ -953,3 +953,96 @@ def dedup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._cached_deps = deps
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) ingest dedup: today's batch vs the standing corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      {_D_CORPUS}
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text FROM documents
+      WHERE doc_id >= 30 AND doc_id < 60 AND doc_id % 3 = 0
+    ),
+    fp AS (SELECT doc_id, md5({_D_NORM_TEXT}) AS fingerprint FROM corpus),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 = 0),
+    store AS (SELECT fingerprint, MIN(doc_id) AS corpus_doc_id
+              FROM fp WHERE doc_id % 3 <> 0 GROUP BY fingerprint),
+    b AS (SELECT doc_id, fingerprint,
+                 MIN(doc_id) OVER (PARTITION BY fingerprint) AS first_in_batch
+          FROM batch)
+    SELECT b.doc_id,
+           CASE WHEN s.corpus_doc_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> b.first_in_batch THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           COALESCE(s.corpus_doc_id, b.first_in_batch) AS canonical_doc_id
+    FROM b LEFT JOIN store s USING (fingerprint)
+    ORDER BY doc_id
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup — the batch operator a daily 100 TB pipeline
+    actually runs between full-corpus passes: an arriving batch is
+    checked against the standing corpus's fingerprint store (exact
+    md5-of-normalized-text, the ``dedup_exact`` fingerprint) and
+    against itself, and every batch doc gets a three-way verdict:
+    ``dup_of_corpus`` (fingerprint already in the store — canonical is
+    the store's doc), ``dup_in_batch`` (first occurrence inside this
+    batch wins — earliest doc_id is canonical), or ``new``.
+
+    Completes the ingest-dedup triptych: full-corpus batch
+    (:func:`dedup_exact`), continuous within-watermark streaming
+    (``streaming/dedup.py``), and this bounded delta join. The
+    reference's ingest loop re-checks arriving OCR outputs against
+    previously processed checksums the same way
+    (`code/python/ocr_agent_8_29.py:21-33`).
+
+    Split: batch = ``doc_id % 3 == 0`` of the planted corpus plus 10
+    extra same-batch copies at +300000 (sources 30..57 ≡ 0 mod 3, which
+    the +200000 corpus plants don't cover) — mod 3 splits each planted
+    exact pair (i, i+200000) across the boundary for i ≢ 2, so all
+    three verdicts are exercised and oracle-checked.
+
+    100 TB shape: the store side is a *fingerprint table*, not the
+    corpus — 16 bytes/doc, maintained incrementally (this query derives
+    it with one hash agg only because the gate needs a self-contained
+    plan). Production keeps it bucketed by fingerprint
+    (``sources/bucketing.py``), so the batch→store left join is a
+    shuffle-on-batch-only bucket join: the daily delta (≪ corpus)
+    shuffles, the store never rewrites, and the within-batch window is
+    per-fingerprint grain bounded by the batch itself."""
+    c = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_plants = docs.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60) & (F.col("doc_id") % 3 == 0)
+    ).select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    fp = c.unionByName(batch_plants).select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    batch = fp.filter(F.col("doc_id") % 3 == 0)
+    store = (
+        fp.filter(F.col("doc_id") % 3 != 0)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("corpus_doc_id"))
+    )
+    b = batch.withColumn(
+        "first_in_batch",
+        F.min("doc_id").over(Window.partitionBy("fingerprint")),
+    )
+    return (
+        b.join(store, "fingerprint", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_doc_id").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("corpus_doc_id", "first_in_batch").alias("canonical_doc_id"),
+        )
+        .orderBy("doc_id")
+    )

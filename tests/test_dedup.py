@@ -62,3 +62,29 @@ def test_unknown_method_rejected(spark, sf_dir):
         embedding_near_dup_pairs(
             _emb(spark, sf_dir), threshold=THRESHOLD, dim=DIM, method="ann"
         )
+
+
+def test_incremental_ingest_verdict_census(spark, sf_dir):
+    """The planted split exercises every verdict with known counts:
+    20 dup_of_corpus (sources i<30, i≡0 mod 3 whose +200000 copy lands
+    corpus-side, plus copies of i≡1 sources landing batch-side), 10
+    dup_in_batch (the +300000 same-batch plants of sources 30..57≡0),
+    and every canonical id must resolve to the group's minimum."""
+    from data_ingestion_task_spark.plans.dedup_plans import incremental_ingest_dedup
+
+    rows = incremental_ingest_dedup(spark, sf_dir).collect()
+    by_verdict = {}
+    for r in rows:
+        by_verdict.setdefault(r.verdict, []).append(r)
+    assert len(by_verdict["dup_of_corpus"]) == 20
+    assert len(by_verdict["dup_in_batch"]) == 10
+    assert len(by_verdict["new"]) == len(rows) - 30
+    # dup_in_batch: each +300000 plant points at its batch-side source
+    for r in by_verdict["dup_in_batch"]:
+        assert r.doc_id == r.canonical_doc_id + 300000
+    # dup_of_corpus canonicals live corpus-side (never ≡ 0 mod 3)
+    for r in by_verdict["dup_of_corpus"]:
+        assert r.canonical_doc_id % 3 != 0
+    # new docs are their own canonical
+    for r in by_verdict["new"]:
+        assert r.doc_id == r.canonical_doc_id
