@@ -641,9 +641,19 @@ def train_ivf_codebook(
     by a map-side-combined aggregate (the exchange carries one row per
     index vector) and the recompute is a posexplode →
     (centroid, dim)-ary hash-agg — both linear in the training set.
-    Run on a SAMPLE with ``nlist ≈ √N`` seeds in production; each
-    round's codebook is materialized by the next round's broadcast, so
-    every stage executes once. Centroid component sums go through
+    Run on a SAMPLE with ``nlist ≈ √N`` seeds in production. The
+    assignment is the plain JVM broadcast-expansion argmax (identical
+    semantics to :func:`_nearest_centroid`: exact JVM dot, ties to the
+    lowest centroid_id), NOT the BLAS-prefiltered helper: the input is
+    sample-bounded by contract (≤ sample·nlist JVM dots per round,
+    trivial), and the helper's per-round driver collect would both pay
+    an Arrow exchange and — because each round's centroids are an
+    unpersisted intermediate — re-execute every earlier round's
+    lineage once per collect (measured ~2× on the registered trained
+    query's coarse stage at sf0.1). Keeping the chain collect-free
+    makes the whole ``rounds``-deep training plan ONE lazy job,
+    evaluated exactly once by the caller's first action. Centroid
+    component sums go through
     round-9dp → DECIMAL(12,9) (the same quantization as the registered
     ``ivf_kmeans_refine`` twin), so the trained codebook is
     bit-reproducible across partitionings/cluster sizes — plain double
@@ -657,7 +667,20 @@ def train_ivf_codebook(
         F.col("_id").alias("centroid_id"), F.col("_xv").alias("_cv")
     )
     for _ in range(rounds):
-        assigned = _nearest_centroid(xn, cent, "_id").select("_xv", "centroid_id")
+        assigned = (
+            xn.join(F.broadcast(cent), F.lit(True))
+            .select(
+                "_id",
+                "_xv",
+                F.struct(
+                    dot(F.col("_xv"), F.col("_cv")).alias("sim"),
+                    (-F.col("centroid_id")).alias("neg_centroid"),
+                ).alias("_s"),
+            )
+            .groupBy("_id")
+            .agg(F.first("_xv").alias("_xv"), F.max("_s").alias("_best"))
+            .select("_xv", (-F.col("_best.neg_centroid")).alias("centroid_id"))
+        )
         means = (
             assigned.select("centroid_id", F.posexplode("_xv").alias("pos", "val"))
             .groupBy("centroid_id", "pos")

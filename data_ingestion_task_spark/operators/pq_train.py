@@ -24,7 +24,8 @@ rows), so every stage here is O(sample · m · n_codes) regardless of
 corpus size: the subspace explode is sample×m narrow rows, each
 assignment is one broadcast join + a map-side-combined min(struct)
 aggregate (the exchange carries one row per (id, j)), and each mean
-recompute is a (j, code, d_sub)-ary hash-agg. Nothing scales with N.
+recompute is one (j, code)-keyed hash-agg carrying d_sub decimal sum
+columns. Nothing scales with N.
 """
 
 from __future__ import annotations
@@ -109,32 +110,39 @@ def train_pq_codebooks_df(
             .select("j", F.col("_best.code").alias("code"), "_sub")
         )
         # Recompute: component sums through round-9dp → DECIMAL(12,9)
-        # (order-independent, exact — the train_ivf_codebook idiom),
-        # mean rebuilt in pos order. Clusters with no members keep
-        # their previous centroid via the left-join coalesce.
+        # (order-independent, exact — the train_ivf_codebook idiom).
+        # One (j, code)-keyed aggregate with d_sub sum columns instead
+        # of the posexplode → two-level shape: identical decimal sums
+        # (grouping differently never reorders exact arithmetic), one
+        # exchange per round instead of two, and no d_sub-fold row
+        # blow-up. Clusters with no members keep their previous
+        # centroid via the join coalesce; means is (m · n_codes)-row
+        # bounded, so it broadcasts into the codebook update.
         means = (
-            assigned.select("j", "code", F.posexplode("_sub").alias("pos", "val"))
-            .groupBy("j", "code", "pos")
+            assigned.groupBy("j", "code")
             .agg(
-                F.sum(F.round(F.col("val"), 9).cast("decimal(12,9)")).alias("s"),
                 F.count("*").alias("c"),
+                *[
+                    F.sum(
+                        F.round(F.col("_sub")[p], 9).cast("decimal(12,9)")
+                    ).alias(f"_s{p}")
+                    for p in range(d_sub)
+                ],
             )
-            .groupBy("j", "code")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            (F.col("s").cast("double") / F.col("c")).alias("m"),
-                        )
-                    )
-                ).alias("_pm")
+            .select(
+                "j",
+                "code",
+                F.array(
+                    *[
+                        F.col(f"_s{p}").cast("double") / F.col("c")
+                        for p in range(d_sub)
+                    ]
+                ).alias("_m"),
             )
-            .select("j", "code", F.col("_pm").getField("m").alias("_m"))
         )
         cent = (
             cent.alias("c")
-            .join(means.alias("mn"), ["j", "code"], "left")
+            .join(F.broadcast(means.alias("mn")), ["j", "code"], "left")
             .select(
                 "j", "code", F.coalesce("mn._m", "c._cv").alias("_cv")
             )
