@@ -1,0 +1,178 @@
+"""At-ingest corpus curation (SURVEY §2.10 extension): the streaming
+twin of the oracle-checked curation FACADE — ``api.curate_corpus``'s
+core conjunction ``quality_keep & ~exact_dup`` applied to documents as
+they arrive, before they ever reach the corpus store.
+
+The component twins already exist (``streaming/dedup.py`` mirrors
+``dedup_exact`` and ``dedup_minhash_lsh``); this module certifies the
+COMPOSITION the way ``plans/curate_plans.curated_corpus_audit``
+certifies the batch facade: one admission pipeline built from the SAME
+library expressions the registered queries pin —
+``plans/quality_plans.gopher_flags`` (pure column projections, so the
+expressions run identically under batch and streaming execution) and
+the watermark-bounded fingerprint dedup of :func:`..dedup.dedup_stream`.
+
+Stage order (quality BEFORE dedup) is a deliberate inversion of the
+batch facade's independent-flags layout, and it is parity-preserving:
+exact duplicates have identical text, so every copy gets the identical
+Gopher verdict — the surviving fingerprint SET is the same whether
+quality is judged before or after dedup. Judging first is strictly
+cheaper at 100 TB/day: rejected docs never hash into the dedup state
+store, so state is (admitted rate × horizon), not (arrival rate ×
+horizon). The batch facade cannot reorder (its contract is one
+auditable flag per stage over the FULL input); the ingest gate's
+contract is admission, where only the conjunction matters.
+
+Near-dup admission chains as a SECOND query over the admitted store
+(:func:`..dedup.start_neardup_ingest` pointed at ``admitted_dir``) —
+two stateful operators of different grains (doc-grain dedup state,
+band-grain claim state) stay in separate queries so each checkpoint
+recovers independently, the same split production pipelines run.
+:func:`final_corpus` is the batch-side read that subtracts the
+near-dup verdict log from the admitted store.
+
+Reference grounding: the reference's ingest agent admits a file only
+after its checksum and content checks pass
+(``code/python/ocr_agent_8_29.py:21-33`` — identity checks at the
+watched-folder boundary); this module is that admission gate with the
+engine's certified quality and duplicate semantics.
+
+Scale: Gopher flags add zero exchanges (column projections on the
+micro-batch); the only shuffles are the fingerprint hash-partition to
+the dedup state shards and, in the chained query, the band-grain
+partition — both bounded by admitted volume, never corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..functions.text import fingerprint_md5
+from .dedup import dedup_stream
+from .ingest import document_stream, ingest_transform
+
+#: Audit columns :func:`curate_stream` adds to every admitted row —
+#: the per-rule Gopher booleans the batch facade exposes, so an
+#: admitted store is auditable the same way a curated batch frame is.
+GOPHER_AUDIT_COLS = (
+    "n_words",
+    "word_count_ok",
+    "mean_word_len_ok",
+    "symbol_ok",
+    "stopwords_ok",
+    "alpha_ok",
+)
+
+
+def gopher_quality_stream(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """All input columns + the Gopher rule flags + ``quality_keep``
+    (never NULL: a NULL/empty text fails quality, it doesn't escape
+    the filter — the api.curate_corpus contract). Pure projections,
+    valid on batch and streaming frames alike; the expressions are the
+    registered ``gopher_quality_filter``'s, via the shared library
+    function its oracle pins."""
+    from ..plans.quality_plans import gopher_flags
+
+    clash = set(GOPHER_AUDIT_COLS + ("keep",)) & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries Gopher output columns {sorted(clash)}; "
+            "rename them upstream — silently overwriting audit columns "
+            "would corrupt the admission log"
+        )
+    flagged = gopher_flags(stream, text_col=text_col, keep_cols=tuple(stream.columns))
+    return flagged.withColumn(
+        "quality_keep", F.coalesce(F.col("keep"), F.lit(False))
+    ).drop("keep")
+
+
+def curate_stream(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "_arrival_ts",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Admission pipeline on an arriving document stream: Gopher
+    quality gate, then watermark-bounded exact dedup on the content
+    fingerprint. Emits only ADMITTED rows, carrying the per-rule audit
+    flags. If ``fingerprint_col`` is absent it is computed here with
+    the same ``fingerprint_md5`` expression the batch facade and
+    ``dedup_exact`` use; if ``ts_col`` is absent an arrival-time
+    column is stamped (processing-time semantics, the inbox regime)."""
+    out = gopher_quality_stream(stream, text_col=text_col).filter("quality_keep")
+    if fingerprint_col not in out.columns:
+        out = out.withColumn(fingerprint_col, fingerprint_md5(F.col(text_col)))
+    return dedup_stream(
+        out, watermark=watermark, ts_col=ts_col, fingerprint_col=fingerprint_col
+    )
+
+
+def start_curated_ingest(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    admitted_dir: str,
+    watermark: str = "10 minutes",
+    query_name: str = "curated_ingest",
+) -> StreamingQuery:
+    """inbox → consolidate (``ingest_transform``) → quality gate →
+    watermark-bounded exact dedup → parquet admitted store.
+    ``availableNow`` drains the backlog and stops (the test run mode);
+    production drops the trigger and lets it run. Chain the near-dup
+    gate by pointing :func:`..dedup.start_neardup_ingest` at
+    ``admitted_dir`` (its file source tails the sink's commit log),
+    then read the surviving corpus with :func:`final_corpus`."""
+    stream = ingest_transform(document_stream(spark, inbox, schema))
+    return (
+        curate_stream(stream, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", admitted_dir)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def final_corpus(
+    spark: SparkSession, admitted_dir: str, neardup_dir: str | None = None
+) -> DataFrame:
+    """The surviving corpus: the admitted store minus docs the chained
+    near-dup gate flagged (``near_dup`` in the verdict log at
+    ``neardup_dir``; see ``..dedup.start_neardup_ingest``). A
+    broadcast-friendly anti-join on ``doc_id`` — the verdict log holds
+    one row per admitted doc, and only the flagged subset matters."""
+    admitted = spark.read.parquet(admitted_dir)
+    if neardup_dir is None:
+        return admitted
+    flagged = (
+        spark.read.parquet(neardup_dir)
+        .filter(F.col("near_dup"))
+        .select("doc_id")
+        .distinct()
+    )
+    return admitted.join(flagged, "doc_id", "left_anti")
+
+
+def batch_curation_survivor_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The batch facade's verdict, reduced to the grain the stream can
+    be compared on: distinct content fingerprints of docs
+    ``api.curate_corpus`` keeps under the same two stages (Gopher +
+    exact dedup). The parity target for :func:`curate_stream` tests —
+    survivor SETS must agree; which copy survives differs by design
+    (first-arrival vs lowest-id)."""
+    from ..api import curate_corpus
+
+    kept = curate_corpus(docs, text_col=text_col, id_col=id_col).filter("keep")
+    return (
+        docs.join(kept.select(id_col), id_col)
+        .select(fingerprint_md5(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+    )
