@@ -255,6 +255,14 @@ def curate_corpus(
             "dsir_target is the raw-docs scoring knob; it conflicts with a "
             "precomputed dsir_scores frame"
         )
+    if dsir_target is not None and dsir_floor is None:
+        # Every other dangling-knob combination raises; silently
+        # skipping the DSIR stage here would let a caller who forgot
+        # the floor believe the stage ran (code-review r9).
+        raise ValueError(
+            "dsir_target without dsir_floor does nothing — pass dsir_floor "
+            "to enable the DSIR stage"
+        )
     cached_deps: list[DataFrame] = []
     if ppx_band is not None and ppx_scores is None:
         ppx_scores = trigram_nll(docs, text_col=text_col, id_col=id_col)

@@ -335,8 +335,45 @@ def knn_topk(
     and the LSH path's bucket join re-read the index at action time.
     """
     idx = index_df.persist()
-    n = idx.count()
     deps = [idx]
+    try:
+        n = idx.count()
+        out = _knn_topk_dispatch(
+            idx, query_df, k, n, dim, deps,
+            query_id=query_id, index_id=index_id, vec_col=vec_col,
+            max_index_rows=max_index_rows, n_bits=n_bits,
+            pq_overscan=pq_overscan, codebook=codebook,
+        )
+    except Exception:
+        # Nothing escapes with the cache handles on failure — release
+        # them here or repeated failing calls pin chunk-embedding
+        # frames in executor storage until eviction (code-review r9).
+        for d in deps:
+            d.unpersist()
+        raise
+    out._cached_deps = deps
+    return out
+
+
+def _knn_topk_dispatch(
+    idx: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    n: int,
+    dim: int,
+    deps: list,
+    *,
+    query_id: str,
+    index_id: str,
+    vec_col: str,
+    max_index_rows: int,
+    n_bits: int,
+    pq_overscan: int | None,
+    codebook: DataFrame | None,
+) -> DataFrame:
+    """The size-routed band dispatch for :func:`knn_topk`; any frame it
+    persists must be appended to ``deps`` (the caller releases them on
+    failure and exposes them as ``_cached_deps`` on success)."""
     if n <= max_index_rows:
         out = knn_join_exact(
             idx, query_df, k,
@@ -404,7 +441,6 @@ def knn_topk(
             idx, query_df, k, n_bits=n_bits, dim=dim,
             query_id=query_id, index_id=index_id, vec_col=vec_col,
         )
-    out._cached_deps = deps
     return out
 
 

@@ -124,9 +124,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sigs(hsl: DataFrame) -> DataFrame:
-    """(doc_id, hs: array<bigint> hashed shingles) → 8 minhash values:
-    min over re-salted hashes of each shingle hash. Computed as
+def hashed_shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct int64-hashed word ``k``-shingles of ``text`` — the
+    shared signature base of the certified ``dedup_minhash_lsh`` AND
+    the streaming near-dup gate (``streaming/dedup.minhash_band_keys``
+    imports this, so batch and stream cannot drift apart on what
+    "near-identical" means; this query's DuckDB oracle pins the
+    expression)."""
+    return F.array_distinct(F.transform(word_shingles(text, k), lambda s: hash64(s)))
+
+
+def _minhash_sigs(hsl: DataFrame, keep_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """(keep_cols…, hs: array<bigint> hashed shingles) → 8 minhash
+    values: min over re-salted hashes of each shingle hash. Computed as
     ``array_min(transform(...))`` over the array — a NARROW map stage
     (the explode→groupBy formulation costs a full shuffle of every
     shingle; this costs none)."""
@@ -139,7 +149,25 @@ def _minhash_sigs(hsl: DataFrame) -> DataFrame:
             )
         ).alias(f"sig{i}")
 
-    return hsl.select("doc_id", *[sig(i) for i in range(N_MINHASH)])
+    return hsl.select(*keep_cols, *[sig(i) for i in range(N_MINHASH)])
+
+
+def band_key_array() -> F.Column:
+    """The 4-bands-of-2 LSH band keys (``b{b}:sig:sig`` strings) over
+    the ``sig{i}`` columns :func:`_minhash_sigs` emits — shared with
+    the streaming gate for the same no-drift reason as
+    :func:`hashed_shingles`."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.col(f"sig{2*b}").cast("string"),
+                F.lit(":"),
+                F.col(f"sig{2*b+1}").cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
 
 
 @query(
@@ -206,12 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification joins and parallelizes the columnar cache build.
     shl = (
         c.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(word_shingles(F.col("text"), 3), lambda s: hash64(s))
-            ).alias("hs"),
-        )
+        .select("doc_id", hashed_shingles(F.col("text"), 3).alias("hs"))
         .persist()
     )
     shl.count()  # materialize BEFORE fan-out: the band self-join and the
@@ -221,18 +244,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs.count()  # same reasoning: the band self-join references sigs
     # TWICE (aliases a/b); racing to fill the cache runs the 8×md5-
     # per-shingle signature map twice.
-    band_structs = F.array(
-        *[
-            F.concat(
-                F.lit(f"b{b}:"),
-                F.col(f"sig{2*b}").cast("string"),
-                F.lit(":"),
-                F.col(f"sig{2*b+1}").cast("string"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band_key"))
+    bands = sigs.select("doc_id", F.explode(band_key_array()).alias("band_key"))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band_key")

@@ -125,8 +125,11 @@ def start_curated_ingest(
     ``availableNow`` drains the backlog and stops (the test run mode);
     production drops the trigger and lets it run. Chain the near-dup
     gate by pointing :func:`..dedup.start_neardup_ingest` at
-    ``admitted_dir`` (its file source tails the sink's commit log),
-    then read the surviving corpus with :func:`final_corpus`."""
+    ``admitted_dir`` with ``consolidate=False`` (admitted rows are
+    already consolidated — re-deriving md5/lang/quality would be pure
+    waste, and the gate then orders on the preserved admission-time
+    ``_arrival_ts`` instead of re-stamping), then read the surviving
+    corpus with :func:`final_corpus`."""
     stream = ingest_transform(document_stream(spark, inbox, schema))
     return (
         curate_stream(stream, watermark=watermark)

@@ -128,50 +128,29 @@ def minhash_band_keys(
 ) -> DataFrame:
     """(id, text) → exploded (id, *carry, band_key): the SAME
     shingle → minhash → band signature as the certified
-    ``dedup_minhash_lsh`` (expression-for-expression; that query's
-    DuckDB oracle pins it). Pure column work, so it runs identically
-    on batch and streaming frames — the test replays the stream's
-    claims through the batch output of this function."""
-    from ..functions.text import hash64, word_shingles
-    from ..plans.dedup_plans import N_BANDS, N_MINHASH
+    ``dedup_minhash_lsh`` — not by copy discipline but by sharing
+    that module's expression builders (``hashed_shingles``,
+    ``_minhash_sigs``, ``band_key_array``), so a change to the batch
+    salting or band layout changes the gate with it (code-review r9).
+    Pure column work, so it runs identically on batch and streaming
+    frames — the test replays the stream's claims through the batch
+    output of this function."""
+    from ..plans.dedup_plans import _minhash_sigs, band_key_array, hashed_shingles
 
-    hs = F.array_distinct(
-        F.transform(word_shingles(F.col(text_col), _ND_SHINGLE_K), lambda s: hash64(s))
+    hsl = df.select(
+        id_col,
+        *carry_cols,
+        hashed_shingles(F.col(text_col), _ND_SHINGLE_K).alias("hs"),
     )
-
-    def sig(i: int) -> F.Column:
-        # single-parameter lambda — a (h, i) lambda would make
-        # transform() pass the ARRAY INDEX as the second argument
-        # (the plans/dedup_plans._minhash_sigs note)
-        return F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda h: hash64(F.concat(F.lit(f"{i}:"), h.cast("string"))),
-            )
-        ).alias(f"_sig{i}")
-
-    sigs = df.select(id_col, *carry_cols, hs.alias("_hs")).select(
-        id_col, *carry_cols, *[sig(i) for i in range(N_MINHASH)]
-    )
-    bands = F.array(
-        *[
-            F.concat(
-                F.lit(f"b{b}:"),
-                F.col(f"_sig{2 * b}").cast("string"),
-                F.lit(":"),
-                F.col(f"_sig{2 * b + 1}").cast("string"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    sigs = _minhash_sigs(hsl, keep_cols=(id_col, *carry_cols))
     # A doc shorter than one shingle has NULL minhashes → NULL band
     # keys; the batch query's equi-join never matches NULL, but a
     # streaming groupBy WOULD group them — drop the rows so shingle-less
     # docs are never near-dup candidates on either engine (they carry
     # no signature to collide on).
-    return sigs.select(id_col, *carry_cols, F.explode(bands).alias("band_key")).filter(
-        F.col("band_key").isNotNull()
-    )
+    return sigs.select(
+        id_col, *carry_cols, F.explode(band_key_array()).alias("band_key")
+    ).filter(F.col("band_key").isNotNull())
 
 
 def _claim_bands_fn(horizon_ms: int):
@@ -251,18 +230,30 @@ def start_neardup_ingest(
     out_dir: str,
     horizon_s: int = 600,
     query_name: str = "neardup_verdicts",
+    max_files_per_trigger: int = 64,
+    consolidate: bool = True,
 ) -> StreamingQuery:
-    """inbox → consolidate → band-claim state machine → per-doc rollup
-    (``near_dup = max(band_dup)``, an intra-batch aggregate: a doc's
-    band rows share its micro-batch by construction) → parquet verdict
-    log at ``out_dir``. ``maxFilesPerTrigger=1`` forces one micro-batch
-    per file so the cross-batch state path is exercised;
-    ``availableNow`` drains the backlog and stops (the test run mode).
-    Admission = ``filter(~near_dup)`` over the verdict log joined back
-    to the doc store."""
-    stream = ingest_transform(
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inbox)
+    """inbox → consolidate (``ingest_transform``; pass
+    ``consolidate=False`` when the inbox rows are ALREADY consolidated,
+    e.g. the admitted store of ``..curate.start_curated_ingest`` —
+    re-deriving md5/lang/quality per row there is pure waste, the gate
+    only needs ``doc_id``/``text``) → band-claim state machine →
+    per-doc rollup (``near_dup = max(band_dup)``, an intra-batch
+    aggregate: a doc's band rows share its micro-batch by
+    construction) → parquet verdict log at ``out_dir``.
+    ``max_files_per_trigger`` bounds micro-batch size when a backlog
+    accumulates (the ``document_stream`` default); tests pass 1 to
+    force one micro-batch per file so the cross-batch state path is
+    exercised. ``availableNow`` drains the backlog and stops (the test
+    run mode). Admission = ``filter(~near_dup)`` over the verdict log
+    joined back to the doc store."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox)
     )
+    if consolidate:
+        stream = ingest_transform(stream)
     verdicts = near_dedup_band_verdicts(stream, horizon_s=horizon_s)
 
     def _rollup(batch: DataFrame, _batch_id: int) -> None:

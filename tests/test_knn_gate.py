@@ -262,3 +262,22 @@ def test_topk_codebook_tiny_index_falls_to_lsh(spark):
     ).collect()
     assert routed == lsh
     assert len(routed) > 0
+
+
+def test_topk_releases_caches_when_route_fails(spark):
+    # A failing dispatch must not strand its routing-persist frames in
+    # executor storage: the facade persists the index (and, on the
+    # codebook route, the query side) before the routing count, and on
+    # an exception no handle escapes for the caller to release.
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    idx = _toy_vectors(spark, 200, id_col="neighbor_id")
+    q = _toy_vectors(spark, 5, id_col="query_id")
+    bad_cb = _toy_codebook(spark, idx).withColumnRenamed("embedding", "vec")
+    with pytest.raises(Exception):
+        knn_topk(
+            idx, q, k=3, dim=8, max_index_rows=10, pq_overscan=None,
+            codebook=bad_cb,
+        ).collect()
+    assert jsc.getPersistentRDDs().size() == before

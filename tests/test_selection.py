@@ -241,6 +241,10 @@ def test_curate_corpus_ppx_band_and_dsir_floor(spark, sf_dir):
             dsir_floor=0.0,
             dsir_target=F.col("lang") == "en",
         )
+    # a dangling target predicate (no floor, no score frame) must not
+    # silently skip the DSIR stage (code-review r9)
+    with pytest.raises(ValueError, match="without dsir_floor"):
+        api.curate_corpus(docs, dsir_target=F.col("lang") == "en")
 
 
 def test_curate_corpus_raw_docs_scoring(spark, sf_dir):

@@ -150,6 +150,8 @@ def test_curated_ingest_neardup_chain(spark, sf_dir, tmp_path):
         adm_schema,
         out_dir=str(verdict_dir),
         query_name="curated_t2_nd",
+        max_files_per_trigger=1,
+        consolidate=False,
     )
     q2.awaitTermination(180)
     flagged = {

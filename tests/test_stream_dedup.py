@@ -109,6 +109,7 @@ def test_stream_neardup_gate_replays_batch_band_claims(spark, sf_dir, tmp_path):
         schema,
         out_dir=str(out_dir),
         query_name="neardup_t1",
+        max_files_per_trigger=1,
     )
     q.awaitTermination(180)
 

@@ -93,7 +93,16 @@ def _reconcile_bench() -> None:
         print("bench_out.json dirty but unreadable/uncommitted — leaving as is")
         return
     t_w, h_w = tree.get("warmup_sec"), head.get("warmup_sec")
-    if t_w is not None and h_w is not None and t_w < h_w:
+    if t_w is None or h_w is None:
+        # Without both warmup readings the runs can't be compared;
+        # discarding the tree copy here could destroy a valid quieter
+        # run (code-review r9) — leave it for a human decision.
+        print(
+            f"bench_out.json dirty but warmup_sec missing (tree={t_w}, "
+            f"HEAD={h_w}) — cannot compare; leaving the tree copy in place"
+        )
+        return
+    if t_w < h_w:
         print(
             f"bench_out.json: keeping the dirty copy (warmup {t_w}s < HEAD's "
             f"{h_w}s — quieter run); commit it with the round-start commit"
