@@ -13,18 +13,23 @@ Merge semantics:
   ``max_by(struct(cols), seq_col)`` when the caller names a sequence
   column, else ``dropDuplicates([key])`` (caller must then send
   unique keys per batch for determinism).
-- Against the store, incoming keys replace stored rows; unrelated
-  keys in the same bucket are carried over; untouched buckets are
-  not read, not rewritten.
+- Against the store: WITHOUT ``seq_col``, incoming keys replace
+  stored rows (last-call-wins — the plain MERGE contract batch
+  callers expect). WITH ``seq_col``, the stored row competes too:
+  the kept row is max-by-sequence over {stored row, batch rows},
+  stored row winning ties — so merging an OLDER snapshot of a key
+  (a re-drain from a fresh checkpoint whose watermark dropped late
+  events, an out-of-order backfill) can never regress a converged
+  row. Unrelated keys in the same bucket are carried over; untouched
+  buckets are not read, not rewritten.
 - ``foreachBatch`` replay safety: Structured Streaming replays only
   the most recent uncommitted batch after a crash, and re-merging the
   same batch is idempotent — PROVIDED the within-batch reduction is
   deterministic: unique keys per batch, or ``seq_col`` named so the
   winner is max-by-sequence rather than ``dropDuplicates``'s
-  arbitrary row. So the store's contents are exactly-once under
-  either condition. (Replaying an *older* batch would clobber newer
-  rows — that case cannot arise from a checkpointed stream, and batch
-  callers get last-call-wins, which is the MERGE contract.)
+  arbitrary row. With ``seq_col`` the guarantee extends past crash
+  replay to FULL re-drains: any interleaving of old and new
+  snapshots converges to the max-sequence row per key.
 
 Crash safety: each touched bucket is swapped with the same two-rename
 dance as ``compact.py`` (``bucket=N → bucket=N{OLD_SUFFIX}``, then
@@ -231,7 +236,31 @@ class KeyedParquetStore:
 
             present = set(self._existing_buckets())
             existing_dirs = [self._bucket_dir(n) for n in hit if n in present]
-            if existing_dirs:
+            if existing_dirs and seq_col is not None:
+                # Sequenced MERGE: the stored row competes with the batch
+                # on seq_col (stored wins ties via the _stored tiebreaker,
+                # so an equal-sequence replay is a no-op). An older
+                # snapshot arriving after a newer stored row — fresh-
+                # checkpoint re-drain with a real watermark, out-of-order
+                # backfill — therefore cannot regress the store
+                # (ADVICE r9 #1). One groupBy instead of the left_anti
+                # join: same single exchange over the hit buckets.
+                existing = self.spark.read.parquet(*existing_dirs).drop("bucket")
+                combined = ub.drop("bucket").withColumn(
+                    "_stored", F.lit(0)
+                ).unionByName(existing.withColumn("_stored", F.lit(1)))
+                merged = (
+                    combined.groupBy(self.key)
+                    .agg(
+                        F.max_by(
+                            F.struct(*[F.col(c) for c in data_cols]),
+                            F.struct(F.col(seq_col), F.col("_stored")),
+                        ).alias("_row")
+                    )
+                    .select(self.key, "_row.*")
+                )
+                out = merged.withColumn("bucket", self._bucket_expr(F.col(self.key)))
+            elif existing_dirs:
                 existing = self.spark.read.parquet(*existing_dirs)
                 keep = existing.join(ub.select(self.key), self.key, "left_anti")
                 out = keep.withColumn(

@@ -23,11 +23,17 @@ keeping per-user state per window (Structured Streaming rejects
 batch rollup answers distinct-user questions, the maintained store
 answers the monitoring ones — the split production systems run.
 
-Replay safety: the MERGE reduces within-batch and across replays by
-``max_by(n_events)`` — the cumulative count is strictly monotone per
-key, so a checkpoint replay that re-emits an older snapshot of a group
-can never regress the stored row (the ``seq_col`` contract of
-``KeyedParquetStore``, which exists for exactly this idempotence).
+Replay safety: the MERGE reduces by ``max_by(n_events)`` both within
+the batch AND against the stored row (stored wins ties) — the
+cumulative count is strictly monotone per key, so neither a checkpoint
+replay nor a full re-drain from a FRESH checkpoint can regress the
+stored row. The re-drain case is the sharp one: with the production
+watermark (2 hours), a re-drain sees late events watermark-dropped and
+re-emits SMALLER counts for converged windows; because the stored row
+competes on ``seq_col``, those partial snapshots lose and the store
+keeps its converged values (the ``seq_col`` contract of
+``KeyedParquetStore``, which exists for exactly this idempotence —
+ADVICE r9 #1).
 
 Scale (100 TB/day of events): the only stream-side exchange is the
 window/event_type hash to the state shards; state is one aggregate row

@@ -81,15 +81,19 @@ def test_maintained_rollup_converges_to_batch(spark, sf_dir, tmp_path):
     assert len(got) > 10  # the corpus actually spans many windows
 
     # draining the SAME inbox again from a fresh checkpoint replays
-    # every cumulative snapshot; max_by(n_events) must keep the store
-    # converged, not regress or double-count
+    # every cumulative snapshot — with the PRODUCTION watermark this
+    # time (ADVICE r9 #1): the user-residue file split arrives out of
+    # time order, so the 2-hour watermark drops most late rows and the
+    # re-drain re-emits PARTIAL counts for converged windows. The
+    # store-level max_by(seq) (stored row wins ties) must keep every
+    # converged row, not regress it to the partial snapshot.
     q2 = start_rollup_maintenance(
         spark,
         str(inbox),
         str(tmp_path / "ru_ckpt2"),
         schema,
         store,
-        watermark="3650 days",
+        watermark="2 hours",
         max_files_per_trigger=1,
         query_name="rollup_t2",
     )

@@ -83,6 +83,29 @@ def test_within_batch_seq_reduction(spark, tmp_path):
     assert got == {1: "new", 2: "only"}
 
 
+def test_seq_merge_never_regresses_stored_row(spark, tmp_path):
+    """ADVICE r9 #1: with seq_col, the STORED row competes on the
+    sequence too — merging an older snapshot (fresh-checkpoint
+    re-drain with a real watermark, out-of-order backfill) must not
+    overwrite a converged row; an equal-sequence replay keeps the
+    stored row (tie → stored wins)."""
+    st = _mk(spark, tmp_path, n_buckets=2)
+    seq_df = lambda rows: spark.createDataFrame(rows, "k long, v string, seq long")
+    st.merge(seq_df([(1, "converged", 20), (2, "x", 5)]), seq_col="seq")
+    # older snapshot of key 1 arrives later: must lose to the store
+    st.merge(seq_df([(1, "partial", 7)]), seq_col="seq")
+    got = {r["k"]: (r["v"], r["seq"]) for r in st.read().collect()}
+    assert got[1] == ("converged", 20)
+    # equal sequence, different payload: stored row wins the tie
+    st.merge(seq_df([(1, "replayed", 20)]), seq_col="seq")
+    got = {r["k"]: (r["v"], r["seq"]) for r in st.read().collect()}
+    assert got[1] == ("converged", 20)
+    # genuinely newer sequence still advances the row
+    st.merge(seq_df([(1, "newer", 21), (3, "c", 1)]), seq_col="seq")
+    got = {r["k"]: (r["v"], r["seq"]) for r in st.read().collect()}
+    assert got == {1: ("newer", 21), 2: ("x", 5), 3: ("c", 1)}
+
+
 def test_crash_repair_restores_parked_bucket(spark, tmp_path):
     st = _mk(spark, tmp_path, n_buckets=4)
     st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
