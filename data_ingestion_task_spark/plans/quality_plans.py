@@ -255,9 +255,15 @@ def gopher_flags(
     """DataFrame-shaped Gopher rule filter (the library entry behind
     the registered query, reused by ``api.curate_corpus``): emits
     ``keep_cols`` + ``n_words`` + one boolean per rule + the
-    conjunction ``keep``. Same exact-integer arithmetic as the oracle."""
-    d = docs.select(*keep_cols, F.trim(F.col(text_col)).alias("txt"))
-    ws = words(F.col("txt"))
+    conjunction ``keep``. Same exact-integer arithmetic as the oracle.
+    The trimmed-text working column uses a collision-proof internal
+    alias so an input that itself carries a ``txt`` column (passed
+    through ``keep_cols``) cannot collide with it (ADVICE r9 #4)."""
+    _t = "__gopher_txt"
+    if _t in keep_cols:
+        raise ValueError(f"keep_cols may not contain the internal alias {_t!r}")
+    d = docs.select(*keep_cols, F.trim(F.col(text_col)).alias(_t))
+    ws = words(F.col(_t))
     m = d.select(
         *keep_cols,
         F.size(ws).cast("bigint").alias("n_words"),
@@ -272,11 +278,11 @@ def gopher_flags(
         .alias("n_stop"),
         F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("bigint").alias("n_alpha"),
         (
-            (F.length("txt") - F.length(F.replace(F.col("txt"), F.lit("#"), F.lit(""))))
+            (F.length(_t) - F.length(F.replace(F.col(_t), F.lit("#"), F.lit(""))))
             + F.floor(
                 (
-                    F.length("txt")
-                    - F.length(F.replace(F.col("txt"), F.lit("..."), F.lit("")))
+                    F.length(_t)
+                    - F.length(F.replace(F.col(_t), F.lit("..."), F.lit("")))
                 )
                 / 3
             )

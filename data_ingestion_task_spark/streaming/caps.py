@@ -19,11 +19,16 @@ Two quota regimes via ``horizon_s``:
 - ``None`` (default): an absolute corpus quota — the batch cap's
   contract. State never expires.
 - a number: a rolling rate limit — a key that sat idle past the
-  horizon gets a fresh quota on its next arrival (the gap is judged
-  in the handler against the key's last sighting; the event-time TTL
-  only garbage-collects keys that never return, since a timeout fires
+  horizon gets a fresh quota on its next arrival. The gap is judged
+  in the handler PER ROW against the previous arrival (carried across
+  micro-batches via the key's last sighting), so an over-horizon idle
+  gap refills the quota wherever it falls — between batches or inside
+  one micro-batch (two bursts an hour apart can land in a single
+  batch under ``max_files_per_trigger=64`` or an ``availableNow``
+  backlog drain — ADVICE r9 #2). The event-time TTL only
+  garbage-collects keys that never return, since a timeout fires
   one watermark advance after the horizon — too late to refill a
-  burst arriving right at the boundary). This is the "at most N docs
+  burst arriving right at the boundary. This is the "at most N docs
   per domain per hour" knob a 100 TB/day pipeline actually sets.
 
 Scale: state is ONE integer per live key — bounded by key cardinality
@@ -48,8 +53,11 @@ def _quota_fn(cap: int, horizon_ms: int | None):
     """Handler factory: per key, admit rows in (ts, doc_id) order —
     the package's standard within-batch total order — while the
     admitted counter is below ``cap``; the counter survives across
-    micro-batches. The rolling refill is judged IN the handler (arrival
-    gap vs the key's last sighting): an event-time TIMEOUT only fires
+    micro-batches. The rolling refill is judged IN the handler, row by
+    row: the counter resets whenever the gap from the previous arrival
+    (the carried last sighting for the first row) exceeds the horizon,
+    so an idle gap INSIDE one micro-batch refills exactly like one at
+    a batch boundary (ADVICE r9 #2). An event-time TIMEOUT only fires
     once the watermark passes it, i.e. at the earliest one micro-batch
     after the horizon truly elapsed — a burst arriving right after an
     idle gap would still see the stale counter. The timeout is kept,
@@ -65,16 +73,14 @@ def _quota_fn(cap: int, horizon_ms: int | None):
             ["ts_ms", "doc_id"]
         )
         n, last = state.get if state.exists else (0, None)
-        if (
-            horizon_ms is not None
-            and last is not None
-            and int(pdf["ts_ms"].min()) - last > horizon_ms
-        ):
-            n = 0  # the key sat idle past the horizon: fresh quota
         admitted = []
-        for _ in range(len(pdf)):
+        prev = last
+        for t in pdf["ts_ms"].astype("int64").tolist():
+            if horizon_ms is not None and prev is not None and t - prev > horizon_ms:
+                n = 0  # the key sat idle past the horizon: fresh quota
             admitted.append(n < cap)
             n += int(n < cap)
+            prev = t
         last = int(pdf["ts_ms"].max())
         state.update((int(n), last))
         if horizon_ms is not None:
@@ -101,7 +107,15 @@ def quota_verdicts(
 ) -> DataFrame:
     """Streaming ``(doc_id, cap_key, ts_ms, admitted)`` verdicts: one
     row per arriving doc, ``admitted`` false once ``key_col``'s quota
-    is spent. If ``ts_col`` is absent an arrival-time column is stamped
+    is spent. Caveat for the rolling regime (``horizon_s`` set): rows
+    whose event time is already behind the watermark are dropped by
+    Spark BEFORE the stateful operator, so a too-late doc gets NO
+    verdict row at all — under the join-back admission pattern it is
+    therefore not admitted (rejected by absence, not by an explicit
+    ``admitted=false`` row). Callers needing an audit row for late
+    docs should left-join the inbox against the verdict log and treat
+    a NULL verdict as rejected-late (ADVICE r9 #3). If ``ts_col`` is
+    absent an arrival-time column is stamped
     (processing-time semantics, the inbox regime). A NULL key is
     canonicalized to the literal ``'∅'`` bucket — unattributed docs
     share one quota rather than escaping the cap (the batch cap groups

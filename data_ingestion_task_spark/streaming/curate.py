@@ -76,7 +76,9 @@ def gopher_quality_stream(stream: DataFrame, text_col: str = "text") -> DataFram
     function its oracle pins."""
     from ..plans.quality_plans import gopher_flags
 
-    clash = set(GOPHER_AUDIT_COLS + ("keep",)) & set(stream.columns)
+    # "__gopher_txt" is gopher_flags' collision-proof internal alias —
+    # keep_cols=all input columns would still collide with it (ADVICE r9 #4)
+    clash = set(GOPHER_AUDIT_COLS + ("keep", "__gopher_txt")) & set(stream.columns)
     if clash:
         raise ValueError(
             f"input already carries Gopher output columns {sorted(clash)}; "

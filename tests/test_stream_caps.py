@@ -158,3 +158,43 @@ def test_quota_horizon_refills_idle_key(spark, tmp_path):
     second = {r["doc_id"] for r in v.filter("admitted and doc_id >= 100").collect()}
     # 3 admitted per burst: the idle gap expired the counter state
     assert len(first) == 3 and len(second) == 3
+
+
+def test_quota_horizon_refills_gap_inside_one_batch(spark, tmp_path):
+    """ADVICE r9 #2: the same two over-horizon-separated bursts landing
+    in ONE micro-batch (single inbox file, availableNow drain — the
+    production max_files_per_trigger=64 / backlog-drain shape) must
+    refill exactly like the cross-batch case: the handler judges the
+    gap per row, not only at the batch boundary."""
+    inbox = tmp_path / "capg_inbox"
+    out_dir = tmp_path / "capg_verdicts"
+    base = 1_700_000_000
+    rows = [(i, "en", base + i) for i in range(5)] + [
+        (100 + i, "en", base + 10_000 + i) for i in range(5)
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, lang string, epoch long")
+        .select("doc_id", "lang", F.timestamp_seconds("epoch").alias("_arrival_ts"))
+        .coalesce(1)
+        .write.parquet(str(inbox))
+    )
+    schema = spark.read.parquet(str(inbox)).schema
+    q = start_capped_ingest(
+        spark,
+        str(inbox),
+        str(tmp_path / "capg_ckpt"),
+        schema,
+        out_dir=str(out_dir),
+        key_col="lang",
+        cap=3,
+        horizon_s=600,  # bursts are 10 000 s apart on event time
+        query_name="caps_t4",
+    )
+    q.awaitTermination(120)
+    v = spark.read.parquet(str(out_dir))
+    assert v.count() == 10  # one batch saw every row
+    first = {r["doc_id"] for r in v.filter("admitted and doc_id < 100").collect()}
+    second = {r["doc_id"] for r in v.filter("admitted and doc_id >= 100").collect()}
+    assert len(first) == 3 and len(second) == 3
+    # arrival order within each burst: the FIRST 3 of each are admitted
+    assert first == {0, 1, 2} and second == {100, 101, 102}

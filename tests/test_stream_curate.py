@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_ingestion_task_spark.sources.tables import load_table
@@ -93,12 +94,23 @@ def test_stream_curation_matches_batch_facade(spark, sf_dir, tmp_path):
 
 def test_curation_gate_rejects_gopher_columns_on_input(spark):
     df = spark.createDataFrame([(1, "x", 2)], "doc_id long, text string, n_words int")
-    try:
+    with pytest.raises(ValueError, match="n_words"):
         gopher_quality_stream(df)
-    except ValueError as e:
-        assert "n_words" in str(e)
-    else:
-        raise AssertionError("clashing audit column must be rejected")
+
+
+def test_curation_gate_passes_through_txt_column(spark):
+    """ADVICE r9 #4: an input carrying a ``txt`` column used to collide
+    with gopher_flags' internal trimmed-text alias and fail analysis;
+    the alias is now collision-proof and ``txt`` rides through as an
+    ordinary passenger column."""
+    long_ok = "the and for with that this " * 10
+    df = spark.createDataFrame(
+        [(1, long_ok, "passenger")], "doc_id long, text string, txt string"
+    )
+    out = gopher_quality_stream(df)
+    rows = out.collect()
+    assert [r["txt"] for r in rows] == ["passenger"]
+    assert rows[0]["quality_keep"] in (True, False)  # analysis succeeded
 
 
 def test_curated_ingest_neardup_chain(spark, sf_dir, tmp_path):
