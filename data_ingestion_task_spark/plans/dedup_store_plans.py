@@ -1,0 +1,186 @@
+"""Delta-ingest dedup against a MAINTAINED fingerprint store
+(VERDICT r9 #3): ``incremental_ingest_dedup`` derives the standing
+corpus's fingerprints per run (its docstring's honest caveat — the
+gate needed a self-contained plan); this module is the production
+shape, wiring the standing side to the keyed MERGE store
+(``sources/upsert.py``) so each batch (a) is judged against the store
+it reads and (b) MERGEs its genuinely-new fingerprints back — the
+batch twin of ``streaming/rollup.py``'s maintain-don't-recompute
+pattern.
+
+Store contract: key = ``fingerprint`` (md5 of normalized text, the
+``dedup_exact`` fingerprint), value = ``corpus_doc_id`` — the
+canonical (first-ingested) doc for that content. Only ``verdict =
+'new'`` rows are admitted, so an existing fingerprint's canonical is
+NEVER overwritten: first-ingested wins forever, which is what makes
+the verdict log replayable (re-admitting a batch merges identical
+rows — idempotent).
+
+100 TB shape: the store is 16 bytes + one long per distinct document
+content, hash-bucketed by fingerprint; a daily delta's judge is one
+left join that shuffles ONLY the delta (the store side reads just the
+buckets the join needs when pre-filtered, or streams bucket-wise),
+and the admit MERGE rewrites only the buckets holding new
+fingerprints. Neither step ever re-reads the corpus text — that is
+the entire point versus the derive-per-run query.
+
+Reference grounding: the ingest agent keeps a standing checksum
+registry and re-checks arriving OCR outputs against it
+(`/root/reference/code/python/ocr_agent_8_29.py:21-33`); this module
+is that registry as a distributed table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5
+from ..sources.compact import _hadoop_fs
+from ..sources.tables import load_table
+from ..sources.upsert import KeyedParquetStore
+from .dedup_plans import _D_CORPUS, _D_NORM_TEXT, _corpus
+from .registry import query
+
+_N_BUCKETS = 8
+
+
+def fingerprint_store(
+    spark: SparkSession, root: str, n_buckets: int = 64
+) -> KeyedParquetStore:
+    """The maintained fingerprint table: one row per distinct content,
+    ``(fingerprint, corpus_doc_id)``."""
+    return KeyedParquetStore(spark, root, key="fingerprint", n_buckets=n_buckets)
+
+
+def delta_dedup_verdicts(
+    batch_fp: DataFrame, store: KeyedParquetStore
+) -> DataFrame:
+    """Judge a batch of ``(doc_id, fingerprint)`` rows against the
+    maintained store: returns ``(doc_id, fingerprint, verdict,
+    canonical_doc_id)`` with the same three-way verdict semantics as
+    ``incremental_ingest_dedup`` (``dup_of_corpus`` > ``dup_in_batch``
+    > ``new``; earliest batch doc_id is the within-batch canonical).
+    A store that has never been merged into judges everything
+    batch-locally (the first-ingest case).
+
+    The returned frame's lineage READS the store — judge, then
+    materialize (or :func:`admit_new_fingerprints`, which forces the
+    admitted rows before any bucket is swapped), and do not re-collect
+    a stale verdict frame after a later merge has rewritten buckets."""
+    b = batch_fp.withColumn(
+        "first_in_batch", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    try:
+        s = store.read().select("fingerprint", "corpus_doc_id")
+        joined = b.join(s, "fingerprint", "left")
+    except FileNotFoundError:
+        joined = b.withColumn("corpus_doc_id", F.lit(None).cast("long"))
+    return joined.select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("corpus_doc_id").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") != F.col("first_in_batch"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.coalesce("corpus_doc_id", "first_in_batch").alias("canonical_doc_id"),
+    )
+
+
+def admit_new_fingerprints(verdicts: DataFrame, store: KeyedParquetStore) -> dict:
+    """MERGE a judged batch's genuinely-new content into the store:
+    only ``verdict = 'new'`` rows (one per new fingerprint by
+    construction — the within-batch canonical), valued with their own
+    doc_id. Existing fingerprints are untouched (they were judged
+    ``dup_of_corpus``), so first-ingested-wins is an invariant, and
+    replaying the same batch re-merges identical rows (idempotent).
+    Returns the store's merge audit dict."""
+    new = verdicts.filter(F.col("verdict") == "new").select(
+        "fingerprint", F.col("canonical_doc_id").alias("corpus_doc_id")
+    )
+    return store.merge(new)
+
+
+@query(
+    "incremental_store_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      {_D_CORPUS}
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text FROM documents
+      WHERE doc_id >= 30 AND doc_id < 60 AND doc_id % 3 = 0
+    ),
+    fp AS (SELECT doc_id, md5({_D_NORM_TEXT}) AS fingerprint FROM corpus),
+    d1 AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0),
+    d2 AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 = 0),
+    b1 AS (SELECT doc_id, fingerprint,
+                  MIN(doc_id) OVER (PARTITION BY fingerprint) AS fib
+           FROM d1),
+    v1 AS (SELECT doc_id,
+                  CASE WHEN doc_id <> fib THEN 'dup_in_batch'
+                       ELSE 'new' END AS verdict,
+                  fib AS canonical_doc_id
+           FROM b1),
+    store1 AS (SELECT fingerprint, MIN(doc_id) AS corpus_doc_id
+               FROM d1 GROUP BY fingerprint),
+    b2 AS (SELECT doc_id, fingerprint,
+                  MIN(doc_id) OVER (PARTITION BY fingerprint) AS fib
+           FROM d2),
+    v2 AS (SELECT b2.doc_id,
+                  CASE WHEN s.corpus_doc_id IS NOT NULL THEN 'dup_of_corpus'
+                       WHEN b2.doc_id <> b2.fib THEN 'dup_in_batch'
+                       ELSE 'new' END AS verdict,
+                  COALESCE(s.corpus_doc_id, b2.fib) AS canonical_doc_id
+           FROM b2 LEFT JOIN store1 s USING (fingerprint))
+    SELECT doc_id, verdict, canonical_doc_id
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    ORDER BY doc_id
+    """,
+)
+def incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive ingest deltas through a REAL maintained store:
+    delta 1 (the standing corpus, ``doc_id % 3 != 0``) is judged
+    against the empty store and its new fingerprints MERGE in; delta 2
+    (``doc_id % 3 == 0`` plus the +300000 same-batch plants — the
+    exact batch ``incremental_ingest_dedup`` judges) is then judged
+    against the MAINTAINED table, never re-deriving delta 1's
+    fingerprints. Returns both deltas' verdicts; delta 2's rows are
+    bit-identical to ``incremental_ingest_dedup``'s output
+    (test-asserted), proving store-backed ≡ derive-per-run.
+
+    Store root handling follows ``upsert_merge_roundtrip``: rebuilt
+    fresh per call under the warehouse dir (determinism across driver
+    testdata regenerations), md5(sf_dir)-tagged so datasets never
+    share a root."""
+    c = _corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_plants = docs.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60) & (F.col("doc_id") % 3 == 0)
+    ).select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    fp = c.unionByName(batch_plants).select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    d1 = fp.filter(F.col("doc_id") % 3 != 0)
+    d2 = fp.filter(F.col("doc_id") % 3 == 0)
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    root = f"{wh}/fp_store_{tag}"
+    # fresh store per call — delete is guarded to the query's own
+    # tagged directory under the warehouse
+    assert root.endswith(f"/fp_store_{tag}")
+    jvm, fs, hpath = _hadoop_fs(spark, root)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    store = fingerprint_store(spark, root, n_buckets=_N_BUCKETS)
+
+    v1 = delta_dedup_verdicts(d1, store)
+    # judge-then-admit: merge() materializes the admitted rows before
+    # any bucket swap, and v1's lineage holds no store read (the store
+    # was empty), so returning v1 below is race-free
+    admit_new_fingerprints(v1, store)
+    v2 = delta_dedup_verdicts(d2, store)
+    cols = ["doc_id", "verdict", "canonical_doc_id"]
+    return v1.select(*cols).unionByName(v2.select(*cols)).orderBy("doc_id")

@@ -19,6 +19,9 @@ the only full-corpus passes are the build's one narrow
 assign+encode Arrow stage and the final broadcast-shortlist re-rank —
 identical scaling to the certified ``ann_ivfpq_topk``
 (SCALE.md §0b), with search riding the broadcast-queries ADC layout.
+The O(1) trainer buys a frozen nlist, whose search cost grows ~N
+(measured 32.0× at 100×, SCALE.md §0c) — the corpus-tracking cap that
+fixes this is ``plans/ivfpq_scaled_plans.py`` (VERDICT r9 #2).
 """
 
 from __future__ import annotations
@@ -71,11 +74,19 @@ def _d_pq_round(r: int, prev: str) -> str:
         FROM {prev} c LEFT JOIN pm{r} m ON m.j = c.j AND m.code = c.code)"""
 
 
-_TRAIN_CTES = f"""
+def _train_ctes(smp_limit_sql: str) -> str:
+    """The full trainer CTE chain (hash-ordered sample → 2-round
+    coarse k-means → 2-round per-subspace PQ Lloyd), parameterized on
+    the sample LIMIT expression so the pinned query (``LIMIT 1024``)
+    and the corpus-tracking ``ivfpq_scaled_topk``
+    (``plans/ivfpq_scaled_plans.py``, LIMIT = a scalar subquery
+    reproducing ``scaled_sample_cap`` exactly) share every other
+    CTE."""
+    return f"""
 smph AS (SELECT id, v,
            ('0x' || substr(md5('ivfpqsmp:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT AS h
          FROM xn),
-smp AS (SELECT id AS neighbor_id, v FROM smph ORDER BY h, id LIMIT {_SAMPLE}),
+smp AS (SELECT id AS neighbor_id, v FROM smph ORDER BY h, id LIMIT {smp_limit_sql}),
 kc0 AS (SELECT neighbor_id AS centroid_id, v AS cv FROM smp
         WHERE neighbor_id % {_SEED_MOD} = 1),
 ka1 AS ({_d_km_assign("smp", "kc0")}),
@@ -96,7 +107,10 @@ phead AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS code
 pc0 AS (SELECT s.j, h.code, s.sub AS cv FROM psub s JOIN phead h USING (id)),
 {",".join(_d_pq_round(r, f"pc{r - 1}") for r in range(1, _ROUNDS + 1))}"""
 
-_ORACLE = f"""
+
+def _trained_oracle(smp_limit_sql: str) -> str:
+    """The full trained-lifecycle oracle for a given sample LIMIT."""
+    return f"""
     SELECT qid AS query_id, rank AS rnk, nid AS neighbor_id,
            round(sim, 9) AS sim
     FROM ({duckdb_ivfpq_sql(
@@ -105,7 +119,7 @@ _ORACLE = f"""
         n_probe=_N_PROBE,
         overscan=_OVERSCAN,
         emb_table="embeddings",
-        extra_ctes=_TRAIN_CTES,
+        extra_ctes=_train_ctes(smp_limit_sql),
         books_sql=f"SELECT j, code, cv FROM pc{_ROUNDS}",
         cent_sql="SELECT centroid_id AS cid, cv FROM kcn",
         pq_shape=(_M, _D_SUB),
@@ -114,28 +128,22 @@ _ORACLE = f"""
 """
 
 
-@query("ivfpq_trained_topk", oracle=_ORACLE)
-def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search with BOTH codebooks trained (the production
-    recommendation the static-codebook ``ann_ivfpq_topk`` stands in
-    for): a deterministic ≤1024-row hash-sample (``_SAMPLE``) feeds
-    ``train_ivf_codebook`` (2 spherical Lloyd rounds, seeds =
-    sample ids ≡ 1 mod 32 → nlist ≈ √sample) and ``train_pq_codebooks_df``
-    (2 Euclidean Lloyd rounds per subspace, init = the
-    sample's first 16 ids); the trained artifacts then drive
-    the same probe → ADC → exact-re-rank pipeline. Every trained sum
-    is DECIMAL-quantized, so the DuckDB twin reconstructs both
-    codebooks bit-exactly and the gate checks the full lifecycle, not
-    just the search."""
+def _trained_lifecycle(
+    spark: SparkSession, sf_dir: str, sample_cap: int
+) -> DataFrame:
+    """Train both codebooks on a ``sample_cap``-row deterministic
+    hash-sample, then run the certified probe → ADC → exact-re-rank
+    search — the Spark body shared by the pinned ``ivfpq_trained_topk``
+    and the corpus-tracking ``ivfpq_scaled_topk``."""
     q, x = _split(spark, sf_dir)
     x = x.select("neighbor_id", "embedding")
     h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
     smp = (
         x.orderBy(h.asc(), F.col("neighbor_id").asc())
-        .limit(_SAMPLE)
+        .limit(sample_cap)
         .persist()  # scanned by both trainers' rounds + init collect
     )
-    # The trained codebook is nlist-sized (~sample/25 rows) but its
+    # The trained codebook is nlist-sized (~sample/32 rows) but its
     # LINEAGE is the whole 2-round Lloyd chain, and downstream it is
     # re-evaluated by the build's centroid collect, the assignment
     # broadcast, and the probe broadcast — persist the tiny frame so
@@ -173,3 +181,21 @@ def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result for the caller to release after collecting
     out._cached_deps = [smp, cb]
     return out
+
+
+@query("ivfpq_trained_topk", oracle=_trained_oracle(str(_SAMPLE)))
+def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with BOTH codebooks trained (the production
+    recommendation the static-codebook ``ann_ivfpq_topk`` stands in
+    for): a deterministic ≤1024-row hash-sample (``_SAMPLE``) feeds
+    ``train_ivf_codebook`` (2 spherical Lloyd rounds, seeds =
+    sample ids ≡ 1 mod 32 → nlist ≈ √sample) and ``train_pq_codebooks_df``
+    (2 Euclidean Lloyd rounds per subspace, init = the
+    sample's first 16 ids); the trained artifacts then drive
+    the same probe → ADC → exact-re-rank pipeline. Every trained sum
+    is DECIMAL-quantized, so the DuckDB twin reconstructs both
+    codebooks bit-exactly and the gate checks the full lifecycle, not
+    just the search. The FIXED cap freezes nlist ≈ 32 as the corpus
+    grows — ``ivfpq_scaled_topk`` is the corpus-tracking variant
+    (VERDICT r9 #2); this query stays pinned for hash stability."""
+    return _trained_lifecycle(spark, sf_dir, _SAMPLE)

@@ -240,6 +240,7 @@ def load_all() -> None:
         corpus_plans,
         curate_plans,
         dedup_plans,
+        dedup_store_plans,
         doctype_plans,
         embedding_curation_plans,
         encode_plans,
@@ -248,6 +249,7 @@ def load_all() -> None:
         extract_plans,
         interval_plans,
         ivfpq_plans,
+        ivfpq_scaled_plans,
         ivfpq_trained_plans,
         lm_plans,
         ml_plans,

@@ -134,3 +134,33 @@ def test_trained_query_release_contract(spark, sf_dir):
     assert all(d.storageLevel.useMemory for d in deps)
     api.release(df)
     assert not any(d.storageLevel.useMemory for d in deps)
+
+
+def test_scaled_sample_cap_tracks_isqrt():
+    """Cap = seed_mod·isqrt(N) floored at the pin; nlist ≈ cap/seed_mod
+    therefore tracks √N — the shape the SQL twin must reproduce."""
+    from math import isqrt
+
+    import duckdb
+    import pytest
+
+    from data_ingestion_task_spark.operators.pq_train import scaled_sample_cap
+
+    assert scaled_sample_cap(0) == 1024
+    assert scaled_sample_cap(500) == 1024  # under the floor: pinned
+    assert scaled_sample_cap(10_000) == 32 * 100
+    assert scaled_sample_cap(200_000) == 32 * isqrt(200_000)
+    with pytest.raises(ValueError, match="n_rows"):
+        scaled_sample_cap(-1)
+    # bit-parity with the oracle's LIMIT expression (the exact-isqrt
+    # correction idiom), including around perfect squares
+    for n in (0, 1, 2, 3, 4, 500, 1024, 1025, 9_999, 10_000, 10_001, 123_456):
+        got = duckdb.sql(
+            f"""SELECT GREATEST(1024, 32 * (s0 + CASE
+                   WHEN (s0 + 1) * (s0 + 1) <= n THEN 1
+                   WHEN s0 * s0 > n THEN -1
+                   ELSE 0 END))
+               FROM (SELECT {n}::BIGINT AS n,
+                            CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) AS s0)"""
+        ).fetchone()[0]
+        assert got == scaled_sample_cap(n), n
