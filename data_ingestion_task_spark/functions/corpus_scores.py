@@ -59,27 +59,8 @@ def trigram_nll(
     persisted (doc, tri, k) grain so the explode runs once. Caller
     contract: the persisted grain rides out as ``_cached_deps``
     (release via ``api.release``)."""
-    t = (
-        docs.select(
-            id_col, normalized_for_fingerprint(F.col(text_col)).alias("txt")
-        )
-        .filter(F.length("txt") >= 3)
-    )
-    tri = t.select(
-        id_col,
-        F.explode(
-            F.regexp_extract_all(F.col("txt"), F.lit("(?=(.{3}))."), 1)
-        ).alias("tri"),
-    )
-    a = tri.groupBy(id_col, "tri").agg(F.count("*").alias("k")).persist()
-    c = a.groupBy("tri").agg(F.sum("k").alias("cnt"))
-    tot = c.agg(F.sum("cnt").alias("n"))
-    rate = c.crossJoin(F.broadcast(tot)).select(
-        "tri",
-        F.round(-F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("nll"),
-    )
+    a = _trigram_grain(docs, text_col, id_col).persist()
+    rate = trigram_rate_from_grain(a)
     out = (
         a.join(F.broadcast(rate), "tri")
         .groupBy(id_col)
@@ -92,6 +73,49 @@ def trigram_nll(
     )
     out._cached_deps = [a]
     return out
+
+
+def _trigram_grain(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The (id, tri, k) grain both the model and the per-doc score
+    derive from (one JVM regex pass — module docstring)."""
+    t = (
+        docs.select(
+            id_col, normalized_for_fingerprint(F.col(text_col)).alias("txt")
+        )
+        .filter(F.length("txt") >= 3)
+    )
+    tri = t.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit("(?=(.{3}))."), 1)
+        ).alias("tri"),
+    )
+    return tri.groupBy(id_col, "tri").agg(F.count("*").alias("k"))
+
+
+def trigram_rate_from_grain(grain: DataFrame) -> DataFrame:
+    """The trigram model ``(tri, nll DECIMAL(18,6))`` from a (id, tri,
+    k) grain — alphabet-bounded (≤ 37³ rows), broadcastable forever."""
+    c = grain.groupBy("tri").agg(F.sum("k").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "tri",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+
+
+def trigram_rate_model(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the character-trigram model alone — the FROZEN-model
+    artifact a streaming scorer broadcasts (``streaming/curate.py``'s
+    scored admission) or a batch sweep reuses across calls. Same
+    expressions as :func:`trigram_nll`'s internal model, so scoring
+    new docs against it reproduces the certified values bit-for-bit
+    wherever the model's support covers them."""
+    return trigram_rate_from_grain(_trigram_grain(docs, text_col, id_col))
 
 
 def dsir_logweights(
@@ -113,13 +137,38 @@ def dsir_logweights(
     The rate table is ``n_buckets`` rows (broadcast both ways); the
     per-doc mean is one map-side-combined aggregate on ``id_col``.
     A NULL ``target_pred`` counts as out-of-target (same as false)."""
+    w = _word_buckets(docs, target_pred, text_col, id_col, n_buckets, carry_cols)
+    rate = dsir_rate_from_buckets(w, n_buckets)
+    return (
+        w.join(F.broadcast(rate), "bucket")
+        .groupBy(id_col)
+        .agg(
+            *[F.any_value(F.col(c)).alias(c) for c in carry_cols],
+            F.count("*").alias("n_words"),
+            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
+def _word_buckets(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The (id, [carry], _is_target, bucket) word grain both the rate
+    table and the per-doc mean derive from."""
     d = docs.select(
         id_col,
         *carry_cols,
         F.coalesce(target_pred, F.lit(False)).alias("_is_target"),
         normalized_for_fingerprint(F.col(text_col)).alias("t"),
     )
-    w = d.select(
+    return d.select(
         id_col, *carry_cols, "_is_target", F.explode(F.split(F.col("t"), " ")).alias("word")
     ).select(
         id_col,
@@ -127,13 +176,18 @@ def dsir_logweights(
         "_is_target",
         (hash64(F.col("word")) % n_buckets).alias("bucket"),
     )
+
+
+def dsir_rate_from_buckets(w: DataFrame, n_buckets: int) -> DataFrame:
+    """The DSIR rate table ``(bucket, lr DECIMAL(18,6))`` from a word
+    grain — ``n_buckets`` rows, broadcastable forever."""
     r = w.groupBy("bucket").agg(F.count("*").alias("cr"))
     t = w.filter(F.col("_is_target")).groupBy("bucket").agg(F.count("*").alias("ct"))
     tot = w.agg(
         F.count("*").alias("R"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("T"),
     )
-    rate = (
+    return (
         r.join(t, "bucket", "left")
         .na.fill({"ct": 0})
         .crossJoin(F.broadcast(tot))
@@ -150,14 +204,18 @@ def dsir_logweights(
             .alias("lr"),
         )
     )
-    return (
-        w.join(F.broadcast(rate), "bucket")
-        .groupBy(id_col)
-        .agg(
-            *[F.any_value(F.col(c)).alias(c) for c in carry_cols],
-            F.count("*").alias("n_words"),
-            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias(
-                "dsir_logweight"
-            ),
-        )
+
+
+def dsir_rate_model(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Train the DSIR rate table alone — the FROZEN-model artifact for
+    streaming scored admission / cross-sweep reuse, same expressions
+    as :func:`dsir_logweights`' internal model."""
+    return dsir_rate_from_buckets(
+        _word_buckets(docs, target_pred, text_col, id_col, n_buckets), n_buckets
     )

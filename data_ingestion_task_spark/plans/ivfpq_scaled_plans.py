@@ -15,13 +15,15 @@ inside the sample CTE's LIMIT, so both engines draw the identical
 hash-sample and every trained artifact matches bit-for-bit.
 
 Cost accounting at 100 TB: the extra price over the pinned query is
-trainer work — sample·nlist ≈ seed_mod·N narrow JVM rows per coarse
-Lloyd round (the PQ trainer stays sample·m·n_codes) — the same order
-as the build's one assign pass, paid only at (re)train time. The
-search side inherits ``ann_ivfpq_topk``'s measured ~11× at 100×
-because cells no longer grow with N. One extra bounded action: the
-index-side ``count()`` that derives the cap (metadata-grade; a
-production deployment reads it from table stats).
+trainer work — a sample×nlist BLAS matmul sweep per coarse Lloyd
+round (``operators/ivf_train.train_ivf_codebook_blas``; the naive JVM
+expansion's 32·N interpreted dots measured 419 s of the sf10 run
+before the swap) plus the sample-bounded PQ trainer — paid only at
+(re)train time. The search side inherits ``ann_ivfpq_topk``'s
+measured ~11× at 100× because cells no longer grow with N. Extra
+bounded actions: the index-side ``count()`` deriving the cap
+(metadata-grade; production reads table stats) and one nlist-row
+centroid collect per training round (the BLAS helper's contract).
 
 Reference analogue: the FAISS index is rebuilt per corpus at setup
 (`/root/reference/code/python/faiss_implimentation.py:164-173`) —
@@ -62,10 +64,18 @@ def ivfpq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (nlist ≈ √N): count the index side, derive
     ``scaled_sample_cap``, train both codebooks on that hash-sample,
     search with the certified probe → ADC → exact-re-rank pipeline.
-    Everything except the cap derivation is shared source with the
-    pinned ``ivfpq_trained_topk`` (``_trained_lifecycle``)."""
+    The lifecycle body is shared source with the pinned
+    ``ivfpq_trained_topk`` (``_trained_lifecycle``); the two deltas
+    are the cap derivation and the coarse trainer's assignment stage
+    (BLAS prefilter — assignment-identical, see
+    ``operators/ivf_train.py``; sample·nlist ≈ 32·N interpreted JVM
+    dots per round measured 419 s of the sf10 lifecycle before the
+    swap)."""
+    from ..operators.ivf_train import train_ivf_codebook_blas
     from ._vector_shared import _split
 
     _, x = _split(spark, sf_dir)
     cap = scaled_sample_cap(x.count(), seed_mod=_SEED_MOD, floor=_SAMPLE)
-    return _trained_lifecycle(spark, sf_dir, cap)
+    return _trained_lifecycle(
+        spark, sf_dir, cap, coarse_trainer=train_ivf_codebook_blas
+    )

@@ -129,12 +129,20 @@ def _trained_oracle(smp_limit_sql: str) -> str:
 
 
 def _trained_lifecycle(
-    spark: SparkSession, sf_dir: str, sample_cap: int
+    spark: SparkSession,
+    sf_dir: str,
+    sample_cap: int,
+    coarse_trainer=train_ivf_codebook,
 ) -> DataFrame:
     """Train both codebooks on a ``sample_cap``-row deterministic
     hash-sample, then run the certified probe → ADC → exact-re-rank
     search — the Spark body shared by the pinned ``ivfpq_trained_topk``
-    and the corpus-tracking ``ivfpq_scaled_topk``."""
+    and the corpus-tracking ``ivfpq_scaled_topk``. ``coarse_trainer``
+    is the k-means entry: the collect-free JVM trainer for the pinned
+    sample, the BLAS-assignment ``train_ivf_codebook_blas`` for
+    corpus-tracking caps (assignment-identical — see
+    ``operators/ivf_train.py``); both are drop-in because the trained
+    artifact is bit-identical."""
     q, x = _split(spark, sf_dir)
     x = x.select("neighbor_id", "embedding")
     h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
@@ -149,7 +157,7 @@ def _trained_lifecycle(
     # broadcast, and the probe broadcast — persist the tiny frame so
     # the chain runs once (bit-identical results, measured ~2× on the
     # registered query's wall at sf0.1).
-    cb = train_ivf_codebook(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
+    cb = coarse_trainer(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
     books = collect_codebooks(
         train_pq_codebooks_df(
             smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS
@@ -178,8 +186,9 @@ def _trained_lifecycle(
         F.round("sim", 9).alias("sim"),
     ).orderBy("query_id", "rnk")
     # repo caching contract: the persisted training inputs ride out on
-    # the result for the caller to release after collecting
-    out._cached_deps = [smp, cb]
+    # the result for the caller to release after collecting (plus any
+    # per-round frames a BLAS trainer persisted)
+    out._cached_deps = [smp, cb, *getattr(cb, "_cached_deps", [])]
     return out
 
 

@@ -47,6 +47,14 @@ from .registry import query
 #: Top-k terms per document for tfidf_topk_terms.
 _TFIDF_K = 3
 
+#: Size gate for the idf-side broadcast (the knn_topk routing idiom,
+#: operators/knn.py): a raw web corpus's term table — typos, ids,
+#: numbers — grows with the corpus and can exceed any broadcast
+#: budget, so the join is broadcast only while the vocabulary's
+#: estimated bytes fit; above it the join falls back to a shuffled
+#: hash/merge join Catalyst picks (VERDICT r9 #5).
+_IDF_BROADCAST_BYTES = 64 << 20
+
 _D_NORM_TEXT = (
     "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
     "'\\s+', ' ', 'g')"
@@ -141,14 +149,24 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: ``tf · round(ln((N+1)/(df+1)),
     6)`` with the idf held DECIMAL so the ranking key is exact in both
     engines (ties broken by term asc). The document-frequency table is
-    vocabulary-sized and broadcast; the only document-grain window
-    partitions by doc_id."""
+    SIZE-ROUTED into the join (``_IDF_BROADCAST_BYTES``): broadcast
+    while the measured vocabulary fits the budget (every test SF),
+    shuffled join above it — an unconditional broadcast of a raw web
+    corpus's unbounded term table was the one such join left in the
+    registry (VERDICT r9 #5). The routing count rides the persisted
+    vocabulary-sized df table (exposed via ``_cached_deps``; release
+    with ``api.release``), so the corpus explode still runs once per
+    side. The only document-grain window partitions by doc_id."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", spark_norm_words("text").alias("ws")
     )
     w = d.select("doc_id", F.explode("ws").alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).persist()
+    stats = df.agg(
+        F.count("*").alias("n_terms"), F.sum(F.length("term")).alias("chars")
+    ).first()  # bounded action: one vocab-grain aggregate row
+    est_bytes = (stats["chars"] or 0) + stats["n_terms"] * 16
     n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     idf = df.crossJoin(F.broadcast(n)).select(
         "term",
@@ -161,11 +179,15 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("idf"),
     )
-    s = tf.join(F.broadcast(idf), "term").withColumn("sc", F.col("tf") * F.col("idf"))
+    if est_bytes <= _IDF_BROADCAST_BYTES:
+        idf = F.broadcast(idf)
+    s = tf.join(idf, "term").withColumn("sc", F.col("tf") * F.col("idf"))
     rw = Window.partitionBy("doc_id").orderBy(F.desc("sc"), F.asc("term"))
-    return (
+    out = (
         s.withColumn("rk", F.row_number().over(rw).cast("bigint"))
         .filter(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "term", "tf", F.col("sc").cast("double").alias("tfidf"), "rk")
         .orderBy("doc_id", "rk")
     )
+    out._cached_deps = [df]
+    return out

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..functions.text import fingerprint_md5
+from ..functions.text import fingerprint_md5, hash64, normalized_for_fingerprint
 from .dedup import dedup_stream
 from .ingest import document_stream, ingest_transform
 
@@ -91,21 +91,136 @@ def gopher_quality_stream(stream: DataFrame, text_col: str = "text") -> DataFram
     ).drop("keep")
 
 
+def _model_map_join(df: DataFrame, model: DataFrame, key: str, val: str, map_col: str) -> DataFrame:
+    """Attach a frozen ``(key, val)`` model to every row as ONE map
+    column via a single-row broadcast stream-static equi-join (on a
+    dummy key — a stream-static CROSS join is not universally allowed,
+    the equi form always is). The map row is model-bounded (≤ 37³
+    trigram entries / 256 DSIR buckets), broadcast once per executor."""
+    if map_col in df.columns:
+        raise ValueError(f"input already carries internal column {map_col!r}")
+    m = model.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(key), F.col(val)))
+        ).alias(map_col)
+    ).withColumn("_one", F.lit(1))
+    return df.withColumn("_one", F.lit(1)).join(F.broadcast(m), "_one").drop("_one")
+
+
+def _dec_mean(matched, out_col: str) -> list:
+    """round(cast(exact-DECIMAL sum AS double) / n, 6) over an array of
+    DECIMAL(18,6) scores — the same one-IEEE-division parity armor as
+    the batch scorers (decimal addition is exact and order-free, so
+    this fold equals the batch SUM bit-for-bit); NULL when nothing
+    matched (an unscorable doc fails its band, the batch contract)."""
+    n = F.size(matched)
+    dsum = F.aggregate(
+        matched,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, x: (acc + x).cast("decimal(28,6)"),
+    )
+    return [
+        F.when(n > 0, F.round(dsum.cast("double") / n, 6)).alias(out_col),
+    ]
+
+
+def trigram_nll_score(
+    df: DataFrame, ppx_model: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """All input columns + ``avg_nll`` scored against a FROZEN
+    character-trigram model (``functions.corpus_scores.
+    trigram_rate_model`` output) — a pure projection after the 1-row
+    broadcast model join, so it runs identically on batch and
+    streaming frames. Bit-matches the certified ``trigram_nll``
+    wherever the model's support covers the doc (each occurrence
+    contributes its DECIMAL(18,6) nll; unseen trigrams contribute
+    nothing — with a model trained on a superset corpus they cannot
+    occur). Docs with no scorable trigram get NULL."""
+    out = _model_map_join(df, ppx_model, "tri", "nll", "_tri_nll")
+    tris = F.regexp_extract_all(
+        normalized_for_fingerprint(F.col(text_col)), F.lit("(?=(.{3}))."), 1
+    )
+    scored = F.filter(
+        F.transform(tris, lambda t: F.element_at(F.col("_tri_nll"), t)),
+        lambda x: x.isNotNull(),
+    )
+    return out.select(*df.columns, *_dec_mean(scored, "avg_nll"))
+
+
+def dsir_logweight_score(
+    df: DataFrame,
+    dsir_model: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """All input columns + ``dsir_logweight`` scored against a FROZEN
+    DSIR rate table (``functions.corpus_scores.dsir_rate_model``
+    output) — same projection shape and parity armor as
+    :func:`trigram_nll_score`; the bucket expression is the certified
+    ``hash64(word) % n_buckets``."""
+    out = _model_map_join(df, dsir_model, "bucket", "lr", "_dsir_lr")
+    words = F.split(normalized_for_fingerprint(F.col(text_col)), " ")
+    scored = F.filter(
+        F.transform(
+            words, lambda w: F.element_at(F.col("_dsir_lr"), hash64(w) % n_buckets)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return out.select(*df.columns, *_dec_mean(scored, "dsir_logweight"))
+
+
 def curate_stream(
     stream: DataFrame,
     watermark: str = "10 minutes",
     ts_col: str = "_arrival_ts",
     text_col: str = "text",
     fingerprint_col: str = "fingerprint",
+    ppx_model: DataFrame | None = None,
+    ppx_band: tuple[float, float] | None = None,
+    dsir_model: DataFrame | None = None,
+    dsir_floor: float | None = None,
 ) -> DataFrame:
     """Admission pipeline on an arriving document stream: Gopher
-    quality gate, then watermark-bounded exact dedup on the content
-    fingerprint. Emits only ADMITTED rows, carrying the per-rule audit
-    flags. If ``fingerprint_col`` is absent it is computed here with
-    the same ``fingerprint_md5`` expression the batch facade and
+    quality gate, optional FROZEN-model scored admission (the
+    streaming analogue of the batch facade's ``ppx_band`` /
+    ``dsir_floor`` stages — VERDICT r9 #4), then watermark-bounded
+    exact dedup on the content fingerprint. Emits only ADMITTED rows,
+    carrying the per-rule audit flags (plus ``avg_nll`` /
+    ``dsir_logweight`` when the score stages run). If
+    ``fingerprint_col`` is absent it is computed here with the same
+    ``fingerprint_md5`` expression the batch facade and
     ``dedup_exact`` use; if ``ts_col`` is absent an arrival-time
-    column is stamped (processing-time semantics, the inbox regime)."""
+    column is stamped (processing-time semantics, the inbox regime).
+
+    Score semantics mirror ``api.curate_corpus`` exactly: ``avg_nll``
+    inside the inclusive band, ``dsir_logweight >= floor``, and an
+    unscorable doc (NULL score) is rejected. Scores are judged BEFORE
+    dedup for the same state-size reason quality is (module
+    docstring): both are content-determined, so every copy of a
+    fingerprint gets the identical verdict and the surviving
+    fingerprint SET is order-independent. The models are trained by
+    the certified library (``trigram_rate_model`` /
+    ``dsir_rate_model``) on a reference corpus and broadcast frozen —
+    the stream never trains on itself (it cannot see its future)."""
+    if (ppx_model is None) != (ppx_band is None):
+        raise ValueError("ppx_model and ppx_band must be passed together")
+    if (dsir_model is None) != (dsir_floor is None):
+        raise ValueError("dsir_model and dsir_floor must be passed together")
     out = gopher_quality_stream(stream, text_col=text_col).filter("quality_keep")
+    if ppx_model is not None:
+        clash = {"avg_nll", "_tri_nll"} & set(out.columns)
+        if clash:
+            raise ValueError(f"input already carries score columns {sorted(clash)}")
+        out = trigram_nll_score(out, ppx_model, text_col=text_col).filter(
+            F.col("avg_nll").between(*ppx_band)
+        )
+    if dsir_floor is not None:
+        clash = {"dsir_logweight", "_dsir_lr"} & set(out.columns)
+        if clash:
+            raise ValueError(f"input already carries score columns {sorted(clash)}")
+        out = dsir_logweight_score(out, dsir_model, text_col=text_col).filter(
+            F.col("dsir_logweight") >= F.lit(dsir_floor)
+        )
     if fingerprint_col not in out.columns:
         out = out.withColumn(fingerprint_col, fingerprint_md5(F.col(text_col)))
     return dedup_stream(
@@ -121,8 +236,14 @@ def start_curated_ingest(
     admitted_dir: str,
     watermark: str = "10 minutes",
     query_name: str = "curated_ingest",
+    ppx_model: DataFrame | None = None,
+    ppx_band: tuple[float, float] | None = None,
+    dsir_model: DataFrame | None = None,
+    dsir_floor: float | None = None,
 ) -> StreamingQuery:
     """inbox → consolidate (``ingest_transform``) → quality gate →
+    optional frozen-model scored admission (``ppx_model``/``ppx_band``,
+    ``dsir_model``/``dsir_floor`` — see :func:`curate_stream`) →
     watermark-bounded exact dedup → parquet admitted store.
     ``availableNow`` drains the backlog and stops (the test run mode);
     production drops the trigger and lets it run. Chain the near-dup
@@ -134,7 +255,14 @@ def start_curated_ingest(
     corpus with :func:`final_corpus`."""
     stream = ingest_transform(document_stream(spark, inbox, schema))
     return (
-        curate_stream(stream, watermark=watermark)
+        curate_stream(
+            stream,
+            watermark=watermark,
+            ppx_model=ppx_model,
+            ppx_band=ppx_band,
+            dsir_model=dsir_model,
+            dsir_floor=dsir_floor,
+        )
         .writeStream.format("parquet")
         .option("path", admitted_dir)
         .option("checkpointLocation", checkpoint)
@@ -165,17 +293,22 @@ def final_corpus(
 
 
 def batch_curation_survivor_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **facade_kwargs
 ) -> DataFrame:
     """The batch facade's verdict, reduced to the grain the stream can
     be compared on: distinct content fingerprints of docs
-    ``api.curate_corpus`` keeps under the same two stages (Gopher +
-    exact dedup). The parity target for :func:`curate_stream` tests —
-    survivor SETS must agree; which copy survives differs by design
-    (first-arrival vs lowest-id)."""
+    ``api.curate_corpus`` keeps under the same stages (Gopher + exact
+    dedup, plus any score stages passed through ``facade_kwargs`` —
+    ``ppx_band``/``dsir_floor``/``dsir_target``…). The parity target
+    for :func:`curate_stream` tests — survivor SETS must agree; which
+    copy survives differs by design (first-arrival vs lowest-id).
+    Every flag the facade ANDs into ``keep`` is content-determined
+    under these stages, so the fingerprint set is well-defined."""
     from ..api import curate_corpus
 
-    kept = curate_corpus(docs, text_col=text_col, id_col=id_col).filter("keep")
+    kept = curate_corpus(docs, text_col=text_col, id_col=id_col, **facade_kwargs).filter(
+        "keep"
+    )
     return (
         docs.join(kept.select(id_col), id_col)
         .select(fingerprint_md5(F.col(text_col)).alias("fingerprint"))

@@ -59,3 +59,37 @@ def test_tfidf_topk_ranked_and_grounded(spark, sf_dir):
             assert words_by_doc[doc_id].count(r["term"]) == r["tf"]
     # every doc with at least one word surfaces
     assert set(by_doc) == {d for d, ws in words_by_doc.items() if ws}
+
+
+def test_tfidf_idf_join_is_size_routed(spark, sf_dir, monkeypatch):
+    """VERDICT r9 #5: the idf join broadcasts only while the measured
+    vocabulary fits _IDF_BROADCAST_BYTES; with the budget forced to 0
+    the plan must carry NO broadcast of the idf side (shuffled join),
+    and the results must be identical either way."""
+    import data_ingestion_task_spark.plans.lm_plans as lm
+
+    df_b = lm.tfidf_topk_terms(spark, sf_dir)
+    plan_b = df_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b or "BroadcastExchange" in plan_b
+    rows_b = df_b.collect()
+    monkeypatch.setattr(lm, "_IDF_BROADCAST_BYTES", 0)
+    # AQE would re-broadcast a small shuffled side at runtime (its
+    # job); the lint checks the COMPILED strategy switch, so pin the
+    # planner's own auto-broadcast off for the routed plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df_s = lm.tfidf_topk_terms(spark, sf_dir)
+        plan_s = df_s._jdf.queryExecution().executedPlan().toString()
+        # the only compiled broadcast left is the 1-row n_docs scalar
+        # (BroadcastNestedLoopJoin); the term-keyed equi-join must not
+        # be a BroadcastHashJoin anymore
+        assert "BroadcastHashJoin" not in plan_s
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+        assert df_s.collect() == rows_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    from data_ingestion_task_spark import api
+
+    api.release(df_b)
+    api.release(df_s)

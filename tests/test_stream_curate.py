@@ -92,6 +92,87 @@ def test_stream_curation_matches_batch_facade(spark, sf_dir, tmp_path):
     assert final_corpus(spark, str(admitted_dir)).count() == len(batch)
 
 
+def test_scored_stream_curation_matches_batch_facade(spark, sf_dir, tmp_path):
+    """VERDICT r9 #4 acceptance: the stream gate with FROZEN-model
+    trigram-NLL band + DSIR floor admits exactly the batch facade's
+    keep set (fingerprint grain) on the same arriving corpus — the
+    models trained once by the certified library, broadcast frozen."""
+    from data_ingestion_task_spark.functions.corpus_scores import (
+        dsir_rate_model,
+        trigram_rate_model,
+        trigram_nll,
+    )
+    from data_ingestion_task_spark.functions.corpus_scores import dsir_logweights
+
+    inbox = tmp_path / "sc_inbox"
+    admitted_dir = tmp_path / "sc_admitted"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    reposts = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(str(inbox))
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(str(inbox))
+    reposts.write.mode("append").parquet(str(inbox))
+    _order_files(inbox)
+    arriving = docs.unionByName(reposts)
+    target = F.col("lang") == "en"
+
+    # thresholds from the corpus's own score distribution so BOTH
+    # stages bind whatever the driver's testdata regeneration produced
+    from data_ingestion_task_spark import api
+
+    scored = trigram_nll(arriving)
+    nlls = sorted(r["avg_nll"] for r in scored.select("avg_nll").collect())
+    api.release(scored)
+    band = (nlls[0], nlls[len(nlls) * 3 // 4])  # reject the worst quartile
+    dsirs = sorted(
+        r["dsir_logweight"]
+        for r in dsir_logweights(arriving, target).select("dsir_logweight").collect()
+    )
+    floor = dsirs[len(dsirs) // 4]  # reject the bottom quartile
+
+    ppx_model = trigram_rate_model(arriving)
+    dsir_model = dsir_rate_model(arriving, target)
+    schema = spark.read.parquet(str(inbox)).schema
+    q = start_curated_ingest(
+        spark,
+        str(inbox),
+        str(tmp_path / "sc_ckpt"),
+        schema,
+        admitted_dir=str(admitted_dir),
+        query_name="curated_scored_t1",
+        ppx_model=ppx_model,
+        ppx_band=band,
+        dsir_model=dsir_model,
+        dsir_floor=floor,
+    )
+    q.awaitTermination(180)
+
+    admitted = spark.read.parquet(str(admitted_dir))
+    streamed = [r["fingerprint"] for r in admitted.select("fingerprint").collect()]
+    batch = {
+        r["fingerprint"]
+        for r in batch_curation_survivor_fingerprints(
+            arriving, ppx_band=band, dsir_floor=floor, dsir_target=target
+        ).collect()
+    }
+    unscored = {
+        r["fingerprint"]
+        for r in batch_curation_survivor_fingerprints(arriving).collect()
+    }
+    assert len(streamed) == len(set(streamed)) == len(batch)
+    assert set(streamed) == batch
+    # the score stages genuinely rejected quality-passing docs
+    assert len(batch) < len(unscored)
+    # admitted rows carry the score audit columns, all inside the gates
+    assert admitted.filter(
+        ~F.col("avg_nll").between(*band) | (F.col("dsir_logweight") < floor)
+    ).count() == 0
+
+
 def test_curation_gate_rejects_gopher_columns_on_input(spark):
     df = spark.createDataFrame([(1, "x", 2)], "doc_id long, text string, n_words int")
     with pytest.raises(ValueError, match="n_words"):
