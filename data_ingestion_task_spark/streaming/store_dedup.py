@@ -1,0 +1,118 @@
+"""Store-backed at-ingest exact dedup: the UNBOUNDED-horizon member
+of the ingest-dedup triptych, completing the split the watermark gate
+documents (``streaming/dedup.py``: state = arrival-rate × horizon in
+the state store, re-posts past the horizon re-admitted) — here the
+registry is the maintained fingerprint table on DISK
+(``plans/dedup_store_plans.py``'s ``KeyedParquetStore``), so a re-post
+is rejected FOREVER at the cost of 16 bytes + a long per distinct
+content, and the "state" survives checkpoints, restarts, and even a
+brand-new query.
+
+Shape: ``foreachBatch`` — each micro-batch is judged against the
+store (``delta_dedup_verdicts``: one left join that shuffles only the
+batch), its verdicts append to an audit log, and its genuinely-new
+fingerprints MERGE back (``admit_new_fingerprints``, rewriting only
+the hit buckets). Within a micro-batch the canonical is the LOWEST
+doc_id (the batch operator's deterministic rule — not arrival order,
+which ``foreachBatch`` cannot observe anyway since the batch is one
+unordered frame).
+
+Exactly-once story — at the STORE grain, by construction: a replayed
+micro-batch (crash between sink append and checkpoint commit)
+re-judges against a store that now already contains its fingerprints,
+so every row reads ``dup_of_corpus`` with the stored canonical and
+``admit_new_fingerprints`` merges nothing — the store is unchanged.
+The APPEND-mode verdict log may therefore carry both the pre-crash
+``new`` row and the replayed ``dup_of_corpus`` row for the same doc;
+that is why the admitted set is defined as the store's canonicals
+(:func:`store_admitted`), never scraped from the log. The log is
+audit, the store is truth.
+
+When to use which gate (the production split, stated honestly):
+- watermark gate: bounded RAM, zero disk I/O per batch, horizon
+  semantics ("same content within 10 minutes is a dup");
+- store gate: unbounded horizon, one bucket-join + partial-rewrite
+  MERGE per batch (disk-backed, batch-size-proportional I/O);
+- both: the RAM gate absorbs the high-frequency duplicates cheaply,
+  the store gate is the durable registry behind it.
+
+Reference grounding: this is the closest analogue in the package to
+the reference ingest agent's STANDING checksum registry — it persists
+across runs and rejects any previously-processed content, not just
+recent content (`/root/reference/code/python/ocr_agent_8_29.py:21-33`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..plans.dedup_store_plans import (
+    admit_new_fingerprints,
+    delta_dedup_verdicts,
+    fingerprint_store,
+)
+from .ingest import document_stream, ingest_transform
+
+__all__ = [
+    "fingerprint_store",
+    "start_store_dedup_ingest",
+    "store_admitted",
+]
+
+
+def start_store_dedup_ingest(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    store,
+    verdict_dir: str,
+    max_files_per_trigger: int = 64,
+    query_name: str = "store_dedup_ingest",
+    consolidate: bool = True,
+) -> StreamingQuery:
+    """inbox → consolidate (pass ``consolidate=False`` when rows
+    already carry ``fingerprint``) → judge each micro-batch against
+    ``store`` → append ``(doc_id, fingerprint, verdict,
+    canonical_doc_id)`` to the audit log at ``verdict_dir`` → MERGE
+    the new fingerprints back. ``availableNow`` drains the backlog
+    and stops (the test run mode); production drops the trigger.
+    Read the admitted corpus via :func:`store_admitted`."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox)
+    )
+    if consolidate:
+        stream = ingest_transform(stream)
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        verdicts = delta_dedup_verdicts(
+            batch.select("doc_id", "fingerprint"), store
+        ).persist()  # judged ONCE against the pre-merge store: both the
+        # log write and the admit read this frame, and re-deriving it
+        # after merge() swaps buckets would re-judge against the
+        # post-merge store (the delta_dedup_verdicts staleness contract)
+        try:
+            verdicts.write.mode("append").parquet(verdict_dir)
+            admit_new_fingerprints(verdicts, store)
+        finally:
+            verdicts.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def store_admitted(store) -> DataFrame:
+    """The admitted registry: one ``(fingerprint, corpus_doc_id)`` row
+    per distinct content ever ingested — the replay-stable admission
+    record (module docstring: the log is audit, the store is truth)."""
+    return store.read().select("fingerprint", "corpus_doc_id")
