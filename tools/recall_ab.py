@@ -1,5 +1,5 @@
 """Trained-vs-derived IVF-PQ recall A/B (SCALE.md §0b row): run the
-registered ``ivfpq_trained_topk`` and ``ann_ivfpq_topk`` at the same
+registered ``ivfpq_trained_topk``, ``ivfpq_scaled_topk`` and ``ann_ivfpq_topk`` at the same
 knobs (k=3, n_probe=2, overscan=8 — both queries' registered
 constants) and score recall@3 against the exact baseline on the
 1-in-50 query sample (the recall-audit convention).
@@ -57,7 +57,7 @@ def main() -> int:
         )
         exact.count()
         row: dict[str, float] = {"n_queries": nq}
-        for name in ("ivfpq_trained_topk", "ann_ivfpq_topk"):
+        for name in ("ivfpq_trained_topk", "ivfpq_scaled_topk", "ann_ivfpq_topk"):
             res = registry.REGISTRY[name].fn(spark, sf_dir)
             hits = (
                 res.select("query_id", "neighbor_id")
