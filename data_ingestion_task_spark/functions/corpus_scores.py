@@ -215,7 +215,12 @@ def dsir_rate_model(
 ) -> DataFrame:
     """Train the DSIR rate table alone — the FROZEN-model artifact for
     streaming scored admission / cross-sweep reuse, same expressions
-    as :func:`dsir_logweights`' internal model."""
+    as :func:`dsir_logweights`' internal model. The table carries its
+    own modulus as a constant ``n_buckets`` column so a scorer can
+    never pair the model with a different bucket count silently
+    (``hash64(word) % wrong_modulus`` returns plausible-but-wrong
+    rates, no error — ADVICE r10 #2); ``streaming/curate.py``'s
+    ``dsir_logweight_score`` derives its modulus from this column."""
     return dsir_rate_from_buckets(
         _word_buckets(docs, target_pred, text_col, id_col, n_buckets), n_buckets
-    )
+    ).withColumn("n_buckets", F.lit(n_buckets))

@@ -53,7 +53,15 @@ _TFIDF_K = 3
 #: budget, so the join is broadcast only while the vocabulary's
 #: estimated bytes fit; above it the join falls back to a shuffled
 #: hash/merge join Catalyst picks (VERDICT r9 #5).
+#: The estimate uses ``term chars + _IDF_ROW_OVERHEAD per term``;
+#: the per-row constant is sized for the JVM's materialized
+#: HashedRelation (UnsafeRow header + field offsets + decimal
+#: payload + hash-table slot ≈ 60-90 bytes/row, several times the
+#: raw payload — ADVICE r10 #5), so the admitted broadcast's REAL
+#: footprint stays near the nominal 64 MiB budget instead of 2-5×
+#: over it.
 _IDF_BROADCAST_BYTES = 64 << 20
+_IDF_ROW_OVERHEAD = 80
 
 _D_NORM_TEXT = (
     "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), "
@@ -166,7 +174,7 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = df.agg(
         F.count("*").alias("n_terms"), F.sum(F.length("term")).alias("chars")
     ).first()  # bounded action: one vocab-grain aggregate row
-    est_bytes = (stats["chars"] or 0) + stats["n_terms"] * 16
+    est_bytes = (stats["chars"] or 0) + stats["n_terms"] * _IDF_ROW_OVERHEAD
     n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     idf = df.crossJoin(F.broadcast(n)).select(
         "term",

@@ -192,7 +192,18 @@ class KeyedParquetStore:
     def merge(self, updates: DataFrame, seq_col: str | None = None) -> dict:
         """Upsert ``updates`` by key. Returns an audit dict with the
         touched bucket count and row counts. See module docstring for
-        the within-batch reduction and replay semantics."""
+        the within-batch reduction and replay semantics.
+
+        Audit semantics: ``rows_upserted`` is the batch's row count
+        AFTER within-batch reduction (one row per key), and
+        ``rows_carried`` is the final store rows in the hit buckets
+        minus that. WITHOUT ``seq_col`` these are exact (every reduced
+        batch row lands). WITH ``seq_col`` the stored row competes, so
+        a batch row that LOSES to a newer stored row is still counted
+        in ``rows_upserted`` — the audit measures batch size offered,
+        not per-key win/loss; under sequenced replay a re-drained old
+        snapshot therefore audits as "upserted" while changing nothing
+        (the store-state guarantee, not the audit, is the contract)."""
         self._repair()
         if self.key not in updates.columns:
             raise ValueError(f"updates missing key column {self.key!r}")
@@ -352,6 +363,43 @@ class KeyedParquetStore:
         if not dirs:
             return self.read().limit(0).drop("bucket")
         return self.spark.read.parquet(*dirs).filter(F.col(self.key).isin(keys))
+
+    def read_for(self, keys_df: DataFrame) -> DataFrame:
+        """Bucket-pruned read for a DataFrame-sized probe: compute the
+        distinct buckets of ``keys_df``'s key column (one driver-side
+        collect bounded by ``n_buckets`` — the same bound ``merge``'s
+        hit-bucket list pays) and read ONLY those bucket directories.
+        This is :meth:`lookup` generalized from driver-side key
+        literals to a distributed batch: the join that follows sees a
+        store side whose scan skipped every bucket the batch cannot
+        hit, so a small delta against a 10B-row store reads hit-bucket
+        bytes, not the full table. Keys are bucketed under the dtype
+        pinned at first merge (a mismatched-dtype probe would hash to
+        the wrong bucket silently — cast first, as with ``lookup``).
+        Like :meth:`read`, raises ``FileNotFoundError`` on a
+        never-merged store; a probe whose buckets are all absent
+        returns an empty frame with the store's schema."""
+        self._repair()
+        if self.key not in keys_df.columns:
+            raise ValueError(f"keys_df missing key column {self.key!r}")
+        key_col = F.col(self.key)
+        if self._key_type is not None:
+            key_col = key_col.cast(self._key_type)
+        hit = sorted(
+            r["b"]
+            for r in keys_df.select(self._bucket_expr(key_col).alias("b"))
+            .distinct()
+            .collect()
+        )
+        present = set(self._existing_buckets())
+        if not present:
+            raise FileNotFoundError(
+                f"keyed store at {self.root} has no data yet — merge first"
+            )
+        dirs = [self._bucket_dir(n) for n in hit if n in present]
+        if not dirs:
+            return self.read().limit(0).drop("bucket")
+        return self.spark.read.parquet(*dirs)
 
     def foreach_batch_merger(
         self,

@@ -91,20 +91,33 @@ def gopher_quality_stream(stream: DataFrame, text_col: str = "text") -> DataFram
     ).drop("keep")
 
 
+_JOIN_KEY = "__model_join_key"
+
+
 def _model_map_join(df: DataFrame, model: DataFrame, key: str, val: str, map_col: str) -> DataFrame:
     """Attach a frozen ``(key, val)`` model to every row as ONE map
     column via a single-row broadcast stream-static equi-join (on a
     dummy key — a stream-static CROSS join is not universally allowed,
     the equi form always is). The map row is model-bounded (≤ 37³
-    trigram entries / 256 DSIR buckets), broadcast once per executor."""
-    if map_col in df.columns:
-        raise ValueError(f"input already carries internal column {map_col!r}")
+    trigram entries / 256 DSIR buckets), broadcast once per executor.
+    The dummy key is collision-checked like ``map_col`` — a caller
+    column with the internal name would be silently destroyed
+    otherwise (ADVICE r10 #3)."""
+    clash = {map_col, _JOIN_KEY} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries internal column(s) {sorted(clash)}"
+        )
     m = model.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col(key), F.col(val)))
         ).alias(map_col)
-    ).withColumn("_one", F.lit(1))
-    return df.withColumn("_one", F.lit(1)).join(F.broadcast(m), "_one").drop("_one")
+    ).withColumn(_JOIN_KEY, F.lit(1))
+    return (
+        df.withColumn(_JOIN_KEY, F.lit(1))
+        .join(F.broadcast(m), _JOIN_KEY)
+        .drop(_JOIN_KEY)
+    )
 
 
 def _dec_mean(matched, out_col: str) -> list:
@@ -151,13 +164,42 @@ def dsir_logweight_score(
     df: DataFrame,
     dsir_model: DataFrame,
     text_col: str = "text",
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """All input columns + ``dsir_logweight`` scored against a FROZEN
     DSIR rate table (``functions.corpus_scores.dsir_rate_model``
     output) — same projection shape and parity armor as
     :func:`trigram_nll_score`; the bucket expression is the certified
-    ``hash64(word) % n_buckets``."""
+    ``hash64(word) % n_buckets``.
+
+    The modulus is DERIVED from the model's ``n_buckets`` column
+    (one driver action on the ≤256-row static table at wiring time) —
+    two independently-defaulted parameters would let a model trained
+    at 128 buckets be scored mod 256 with plausible-but-wrong rates
+    and no error (ADVICE r10 #2). An explicit ``n_buckets`` is
+    cross-checked against the model, and is REQUIRED only for a
+    legacy table lacking the column."""
+    if "n_buckets" in dsir_model.columns:
+        nb = dsir_model.select(
+            F.min("n_buckets").alias("lo"), F.max("n_buckets").alias("hi")
+        ).first()
+        if nb["lo"] != nb["hi"]:
+            raise ValueError(
+                f"dsir_model carries conflicting n_buckets values "
+                f"({nb['lo']} vs {nb['hi']}) — mixed-modulus model rows"
+            )
+        if n_buckets is not None and n_buckets != nb["hi"]:
+            raise ValueError(
+                f"n_buckets={n_buckets} contradicts the model's own "
+                f"modulus {nb['hi']} — the model wins; drop the argument"
+            )
+        n_buckets = nb["hi"]
+    elif n_buckets is None:
+        raise ValueError(
+            "dsir_model has no n_buckets column (legacy table) — pass "
+            "the training-time n_buckets explicitly; guessing a modulus "
+            "silently mis-bucket every lookup"
+        )
     out = _model_map_join(df, dsir_model, "bucket", "lr", "_dsir_lr")
     words = F.split(normalized_for_fingerprint(F.col(text_col)), " ")
     scored = F.filter(

@@ -80,3 +80,46 @@ def test_store_backed_query_matches_derive_per_run(spark, sf_dir):
         for r in incremental_ingest_dedup(spark, sf_dir).collect()
     ]
     assert got == want and len(want) > 0
+
+
+def test_judge_scan_prunes_to_hit_buckets(spark, tmp_path):
+    """VERDICT r10 #1 acceptance: a 1-bucket batch's judge reads ONLY
+    that bucket directory of the store (inputFiles() witness), and the
+    verdicts are what the full-store judge would have produced."""
+    from pyspark.sql import functions as F
+
+    store = fingerprint_store(spark, str(tmp_path / "fpp"), n_buckets=8)
+    seed = _fp(spark, [(i, f"s{i}") for i in range(64)])
+    admit_new_fingerprints(delta_dedup_verdicts(seed, store), store)
+    # craft a batch whose fingerprints (one seeded dup + fresh strings)
+    # all hash to ONE bucket, using the store's own bucket expression
+    cand = spark.createDataFrame(
+        [(f"s{i}",) for i in range(64)] + [(f"c{i}",) for i in range(300)],
+        ["fingerprint"],
+    )
+    rows = cand.withColumn(
+        "b", store._bucket_expr(F.col("fingerprint").cast("string"))
+    ).collect()
+    target = next(r["b"] for r in rows if r["fingerprint"].startswith("s"))
+    seeded = next(
+        r["fingerprint"]
+        for r in rows
+        if r["b"] == target and r["fingerprint"].startswith("s")
+    )
+    fresh = [
+        r["fingerprint"]
+        for r in rows
+        if r["b"] == target and r["fingerprint"].startswith("c")
+    ][:3]
+    batch = _fp(
+        spark,
+        [(1000, seeded)] + [(1001 + i, fp) for i, fp in enumerate(fresh)],
+    )
+    verdicts = delta_dedup_verdicts(batch, store)
+    store_files = [f for f in verdicts.inputFiles() if "/fpp/" in f]
+    assert store_files, "judge plan must read the store"
+    assert all(f"/bucket={target}/" in f for f in store_files)
+    got = _verdicts(verdicts)
+    canonical = int(seeded[1:])  # seed doc_id i carries fingerprint f"s{i}"
+    assert got[1000] == ("dup_of_corpus", canonical)
+    assert all(got[1001 + i] == ("new", 1001 + i) for i in range(len(fresh)))

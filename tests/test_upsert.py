@@ -228,3 +228,54 @@ def test_lookup_accepts_generator_keys(spark, tmp_path):
     st = _mk(spark, tmp_path, n_buckets=8)
     st.merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
     assert _rows(st.lookup(k for k in (1, 3))) == [(1, "a"), (3, "c")]
+
+
+def test_read_for_prunes_to_probe_buckets(spark, tmp_path):
+    """read_for (VERDICT r10 #1): a DataFrame probe's store scan must
+    touch only the probe keys' bucket directories — inputFiles() is
+    the plan-level witness."""
+    import pyspark.sql.functions as F
+
+    st = _mk(spark, tmp_path, n_buckets=8)
+    st.merge(_df(spark, [(i, f"v{i}") for i in range(64)]))  # fill all buckets
+    # pick probe keys that all land in ONE bucket, using the store's
+    # own bucket expression so the test can't drift from the layout
+    cand = spark.createDataFrame([(k,) for k in range(100, 300)], ["k"])
+    rows = cand.withColumn("b", st._bucket_expr(F.col("k").cast("long"))).collect()
+    target = rows[0]["b"]
+    picks = [r["k"] for r in rows if r["b"] == target][:5]
+    probe = spark.createDataFrame([(k,) for k in picks], "k long")
+    side = st.read_for(probe)
+    files = side.inputFiles()
+    assert files and all(f"/bucket={target}/" in f for f in files)
+    # and the pruned side still holds every stored row of that bucket
+    stored_in_bucket = (
+        st.read().filter(F.col("bucket") == target).drop("bucket")
+    )
+    assert _rows(side) == _rows(stored_in_bucket)
+
+
+def test_read_for_absent_buckets_and_empty_store(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    st = _mk(spark, tmp_path, n_buckets=64)
+    with pytest.raises(FileNotFoundError):
+        st.read_for(spark.createDataFrame([(1,)], "k long"))
+    st.merge(_df(spark, [(1, "a")]))
+    # a probe whose bucket dir doesn't exist -> empty frame, store schema
+    one = st.read().drop("bucket")
+    b1 = (
+        spark.createDataFrame([(k,) for k in range(2, 400)], "k long")
+        .withColumn("b", st._bucket_expr(F.col("k").cast("long")))
+        .collect()
+    )
+    present = {
+        r["bucket"] for r in st.read().select("bucket").distinct().collect()
+    }
+    miss = [r["k"] for r in b1 if r["b"] not in present][:3]
+    assert miss, "need at least one key hashing to an absent bucket"
+    out = st.read_for(spark.createDataFrame([(k,) for k in miss], "k long"))
+    assert out.count() == 0 and set(out.columns) == set(one.columns)
+    # missing key column is a loud error
+    with pytest.raises(ValueError, match="missing key column"):
+        st.read_for(spark.createDataFrame([(1,)], "wrong long"))
