@@ -254,6 +254,7 @@ def load_all() -> None:
         lm_plans,
         ml_plans,
         multimodal_plans,
+        neardup_store_plans,
         normalize_plans,
         pretrain_plans,
         quality_plans,

@@ -1,0 +1,106 @@
+"""Store-backed at-ingest NEAR-dup gate: the unbounded-horizon member
+for near-duplicates, completing the triptych
+(``streaming/dedup.py``'s horizon-bounded band claims;
+``streaming/store_dedup.py``'s exact-fingerprint registry; this —
+band claims as a maintained DISK table). A near-duplicate re-posted
+long after any watermark horizon, or into a brand-new query run, is
+still rejected: the registry is ``plans/neardup_store_plans.py``'s
+``KeyedParquetStore`` of LSH band claims, judged by band collision
+and convicted only by exact Jaccard on stored shingle arrays.
+
+Shape: ``foreachBatch`` — each micro-batch's docs are shingle-hashed
+(the certified ``dedup_minhash_lsh`` signature), judged against the
+store (bucket-pruned band join), verdicts append to an audit log, and
+genuinely-new docs' band claims MERGE back.
+
+Exactly-once at the STORE grain, by construction: a replayed
+micro-batch re-judges against a store that already holds its band
+claims — every replayed doc band-collides with ITSELF at Jaccard 1.0
+and reads ``dup_of_corpus`` with its own stored canonical, so
+``admit_new_band_rows`` merges nothing. The append-mode log may carry
+both the pre-crash ``new`` and the replayed ``dup_of_corpus`` row;
+the admitted set is therefore :func:`store_admitted` (the store's
+distinct canonicals), never scraped from the log.
+
+Reference grounding: the reference persists its FAISS index across
+sessions and probes arrivals against the standing index
+(`/root/reference/code/python/Faiss_2_10.py:70-114`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..plans.dedup_plans import hashed_shingles
+from ..plans.neardup_store_plans import (
+    admit_new_band_rows,
+    delta_neardup_verdicts,
+    neardup_band_store,
+)
+
+__all__ = [
+    "neardup_band_store",
+    "start_store_neardup_ingest",
+    "store_admitted",
+]
+
+
+def start_store_neardup_ingest(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    store,
+    verdict_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 64,
+    query_name: str = "store_neardup_ingest",
+) -> StreamingQuery:
+    """inbox → shingle-hash each micro-batch → judge against the band
+    registry → append ``(doc_id, verdict, canonical_doc_id)`` to the
+    audit log at ``verdict_dir`` → MERGE new docs' band claims back.
+    ``availableNow`` drains the backlog and stops (the test run mode);
+    production drops the trigger."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox)
+    )
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        docs = batch.select(
+            "doc_id", hashed_shingles(F.col(text_col), 3).alias("hs")
+        ).persist()  # feeds the judge (twice: corpus + pair sides) and
+        # the admit's band re-derivation — one shingle-hash pass
+        try:
+            verdicts = delta_neardup_verdicts(
+                docs, store, threshold=threshold
+            ).persist()  # judged ONCE against the pre-merge store; both
+            # the log write and the admit read this frame (the
+            # delta_neardup_verdicts staleness contract)
+            try:
+                verdicts.write.mode("append").parquet(verdict_dir)
+                admit_new_band_rows(verdicts, docs, store)
+            finally:
+                verdicts.unpersist()
+        finally:
+            docs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def store_admitted(store) -> DataFrame:
+    """The admitted registry at doc grain: one ``canonical_doc_id``
+    per admitted doc (each contributes up to 4 band rows — distinct
+    collapses them). The log is audit, the store is truth."""
+    return store.read().select("canonical_doc_id").distinct()
