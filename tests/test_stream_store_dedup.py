@@ -143,3 +143,76 @@ def test_store_gate_exactly_once_at_store_grain_across_kill(spark, sf_dir, tmp_p
         .collect()
     }
     assert got == want
+
+
+def test_dual_gate_horizon_absorbs_store_rejects(spark, sf_dir, tmp_path):
+    """VERDICT r10 missing #2 acceptance: the composed dual gate. A
+    within-horizon re-post is absorbed by the watermark RAM gate and
+    never touches the store — it appears in NO verdict-log row (the
+    log records every doc the store gate judged, so absence IS the
+    no-merge evidence). A re-post in a brand-new run (fresh checkpoint
+    — RAM state gone) still reaches the store gate and is rejected by
+    the durable registry."""
+    from data_ingestion_task_spark.streaming.store_dedup import (
+        start_dual_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    inbox = tmp_path / "dg_inbox"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(str(inbox))
+    # within-horizon re-posts arrive in a LATER micro-batch of the
+    # same run (maxFilesPerTrigger=1 forces file-per-batch)
+    reposts = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 3 == 0)).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    reposts.coalesce(1).write.mode("append").parquet(str(inbox))
+    _mtime_order(inbox)
+
+    schema = spark.read.parquet(str(inbox)).schema
+    store = fingerprint_store(spark, str(tmp_path / "dg_store"), n_buckets=8)
+    q = start_dual_dedup_ingest(
+        spark,
+        str(inbox),
+        str(tmp_path / "dg_ckpt"),
+        schema,
+        store,
+        verdict_dir=str(tmp_path / "dg_verdicts"),
+        max_files_per_trigger=1,
+        query_name="dg_t1",
+    )
+    q.awaitTermination(240)
+
+    verdicts = spark.read.parquet(str(tmp_path / "dg_verdicts"))
+    # the RAM gate ate every within-horizon re-post BEFORE the store
+    # gate: no verdict row, no canonical, nothing judged
+    assert verdicts.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    assert (
+        store_admitted(store).filter(F.col("corpus_doc_id") >= 1_000_000).count()
+        == 0
+    )
+    n_store = store_admitted(store).count()
+    assert n_store == docs.filter(F.col("doc_id") % 2 == 0).select("text").distinct().count()
+
+    # cross-RUN re-post: fresh checkpoint -> the RAM state is gone, so
+    # the re-post reaches the store gate — and the durable registry
+    # rejects it
+    inbox2 = tmp_path / "dg_inbox2"
+    reposts.withColumn("doc_id", F.col("doc_id") + 1_000_000).coalesce(1).write.parquet(
+        str(inbox2)
+    )
+    q2 = start_dual_dedup_ingest(
+        spark,
+        str(inbox2),
+        str(tmp_path / "dg_ckpt2"),
+        schema,
+        store,
+        verdict_dir=str(tmp_path / "dg_verdicts2"),
+        query_name="dg_t2",
+    )
+    q2.awaitTermination(240)
+    v2 = spark.read.parquet(str(tmp_path / "dg_verdicts2"))
+    assert v2.count() > 0  # these DID reach the store gate
+    assert v2.filter(F.col("verdict") != "dup_of_corpus").count() == 0
+    assert store_admitted(store).count() == n_store
