@@ -40,9 +40,12 @@ from ..plans.neardup_store_plans import (
     delta_neardup_verdicts,
     neardup_band_store,
 )
+from .dedup import dedup_stream
+from .ingest import ingest_transform
 
 __all__ = [
     "neardup_band_store",
+    "start_dual_neardup_ingest",
     "start_store_neardup_ingest",
     "store_admitted",
 ]
@@ -92,6 +95,67 @@ def start_store_neardup_ingest(
 
     return (
         stream.writeStream.foreachBatch(_gate)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_dual_neardup_ingest(
+    spark: SparkSession,
+    inbox: str,
+    checkpoint: str,
+    schema: StructType,
+    store,
+    verdict_dir: str,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 64,
+    query_name: str = "dual_neardup_ingest",
+) -> StreamingQuery:
+    """The near-dup analogue of ``store_dedup.start_dual_dedup_ingest``:
+    inbox → consolidate → EXACT watermark RAM gate
+    (``dropDuplicatesWithinWatermark`` on the content fingerprint) →
+    band-registry store gate, one query, one checkpoint.
+
+    Split rationale, stated honestly: the RAM stage absorbs only
+    within-horizon EXACT re-posts — which is the high-frequency case
+    (re-crawls, retry storms re-post identical bytes) — at
+    fingerprint-row state cost and zero disk I/O. NEAR variants always
+    reach the store gate; so do exact re-posts past the horizon or
+    from a previous run, where the band registry convicts them at
+    Jaccard 1.0. (The horizon-bounded band-claim machine in
+    ``streaming/dedup.py`` is the RAM-only alternative when near-dup
+    absorption itself must be memory-resident; it cannot front THIS
+    gate in one query because its stateful output is band-grain and
+    no longer carries the text the store judge needs.)"""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(inbox)
+    )
+    gated = dedup_stream(ingest_transform(stream), watermark=watermark)
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        docs = batch.select(
+            "doc_id", hashed_shingles(F.col(text_col), 3).alias("hs")
+        ).persist()
+        try:
+            verdicts = delta_neardup_verdicts(
+                docs, store, threshold=threshold
+            ).persist()
+            try:
+                verdicts.write.mode("append").parquet(verdict_dir)
+                admit_new_band_rows(verdicts, docs, store)
+            finally:
+                verdicts.unpersist()
+        finally:
+            docs.unpersist()
+
+    return (
+        gated.writeStream.foreachBatch(_gate)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

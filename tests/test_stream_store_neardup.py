@@ -167,3 +167,88 @@ def test_neardup_gate_exactly_once_at_store_grain_across_kill(
     assert v3.filter(F.col("verdict") != "dup_of_corpus").count() == 0
     assert store.read().count() == n_store
     assert store_admitted(store).count() == n_admitted
+
+
+def test_dual_neardup_gate_ram_absorbs_store_convicts(spark, sf_dir, tmp_path):
+    """Composed dual near-dup gate: within-horizon EXACT re-posts are
+    absorbed by the watermark RAM stage (no verdict row — never judged,
+    never merged); NEAR variants pass the exact stage and are convicted
+    by the band registry; a cross-run exact re-post (fresh checkpoint)
+    reaches the store gate and is rejected at Jaccard 1.0."""
+    from data_ingestion_task_spark.streaming.store_neardup import (
+        start_dual_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inbox = tmp_path / "dn_inbox"
+    base.write.mode("append").parquet(str(inbox))
+    # file 2: EXACT re-posts, same run, within horizon
+    exact_rp = base.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    exact_rp.coalesce(1).write.mode("append").parquet(str(inbox))
+    # file 3: NEAR variants of LONG docs — survive the exact stage
+    ws = words(F.col("text"))
+    near_rp = base.filter(F.size(ws) >= 40).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 6, F.size(ws) - 5)).alias("text"),
+        "source",
+    )
+    n_near = near_rp.count()
+    assert n_near > 5
+    near_rp.coalesce(1).write.mode("append").parquet(str(inbox))
+    _mtime_order(inbox)
+
+    schema = spark.read.parquet(str(inbox)).schema
+    store = neardup_band_store(spark, str(tmp_path / "dn_store"), n_buckets=8)
+    q = start_dual_neardup_ingest(
+        spark,
+        str(inbox),
+        str(tmp_path / "dn_ckpt"),
+        schema,
+        store,
+        verdict_dir=str(tmp_path / "dn_verdicts"),
+        max_files_per_trigger=1,
+        query_name="dn_t1",
+    )
+    q.awaitTermination(240)
+
+    verdicts = spark.read.parquet(str(tmp_path / "dn_verdicts"))
+    # exact re-posts: absorbed upstream, never judged
+    assert (
+        verdicts.filter(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+        ).count()
+        == 0
+    )
+    # near variants: reached the gate, convicted by the registry
+    nv = verdicts.filter(F.col("doc_id") >= 2_000_000)
+    assert nv.count() == n_near
+    assert nv.filter(F.col("verdict") == "dup_of_corpus").count() >= int(
+        0.8 * n_near
+    )
+    n_store = store.read().count()
+    assert store_admitted(store).filter(F.col("canonical_doc_id") >= 1_000_000).count() == 0
+
+    # cross-RUN exact re-post: RAM state gone, store gate convicts
+    inbox2 = tmp_path / "dn_inbox2"
+    base.filter(F.col("doc_id") % 3 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    ).write.parquet(str(inbox2))
+    q2 = start_dual_neardup_ingest(
+        spark,
+        str(inbox2),
+        str(tmp_path / "dn_ckpt2"),
+        schema,
+        store,
+        verdict_dir=str(tmp_path / "dn_verdicts2"),
+        query_name="dn_t2",
+    )
+    q2.awaitTermination(240)
+    v2 = spark.read.parquet(str(tmp_path / "dn_verdicts2"))
+    assert v2.count() > 0
+    assert v2.filter(F.col("verdict") != "dup_of_corpus").count() == 0
+    assert store.read().count() == n_store
