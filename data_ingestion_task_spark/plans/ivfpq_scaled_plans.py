@@ -28,6 +28,22 @@ centroid collect per training round (the BLAS helper's contract).
 Reference analogue: the FAISS index is rebuilt per corpus at setup
 (`/root/reference/code/python/faiss_implimentation.py:164-173`) —
 retraining as the corpus grows is the reference's lifecycle too.
+
+Recall at the grown nlist (r11 A/B, ``tools/recall_ab.py``, exact
+baseline on the 1-in-50 query sample, k=3 / n_probe=2 / overscan=8):
+recall@3 scaled vs frozen-trained vs derived = **0.101 / 0.129 /
+0.079 at sf1** and **0.058 / 0.067 / 0.047 at sf10**. The scaled
+lifecycle keeps the trained-codebook advantage over the derived
+id-residue centroids (~1.25×) but gives back 13–22% vs the FROZEN
+trained pin — exactly the fixed-n_probe-at-growing-nlist trade: at
+nlist ≈ √N the searched fraction is n_probe/√N, so recall at constant
+n_probe falls as the corpus grows while the frozen pin silently pays
+cells ∝ N instead (the 32.0×-at-100× wall this query exists to
+avoid). Production guidance (SCALE.md §8 #2): scale ``n_probe`` with
+log N (or hold the searched-fraction target) when recall matters —
+multi-probe cost is linear in n_probe and stays √N-bounded per cell;
+the registered query pins n_probe=2 because the oracle gate needs a
+fixed plan, not because 2 is the production setting.
 """
 
 from __future__ import annotations

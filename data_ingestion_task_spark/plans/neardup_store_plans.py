@@ -112,6 +112,7 @@ def delta_neardup_verdicts(
     batch_docs: DataFrame,
     store: KeyedParquetStore,
     threshold: float = _ND_THRESHOLD,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Judge a batch of ``(doc_id, hs)`` docs against the maintained
     band registry: returns ``(doc_id, verdict, canonical_doc_id)``
@@ -124,8 +125,16 @@ def delta_neardup_verdicts(
     Like the exact judge, the returned frame's lineage READS the
     store: judge, materialize (or :func:`admit_new_band_rows`, which
     forces the verdicts first), never re-collect after a later merge.
-    """
-    bands = band_rows(batch_docs)
+
+    ``bands``: optionally the PERSISTED output of
+    :func:`band_rows(batch_docs)` — the judge references the band
+    grain four times (the pruning probe's action, the corpus join,
+    both sides of the pair self-join) and the 8-salted-md5 minhash
+    map is the expensive stage; callers that also admit should
+    compute it once, persist, and pass it here and to
+    :func:`admit_new_band_rows`."""
+    if bands is None:
+        bands = band_rows(batch_docs)
     try:
         s = store.read_for(bands.select("band_key")).select(
             "band_key",
@@ -181,7 +190,10 @@ def delta_neardup_verdicts(
 
 
 def admit_new_band_rows(
-    verdicts: DataFrame, batch_docs: DataFrame, store: KeyedParquetStore
+    verdicts: DataFrame,
+    batch_docs: DataFrame,
+    store: KeyedParquetStore,
+    bands: DataFrame | None = None,
 ) -> dict:
     """MERGE a judged batch's genuinely-new docs' band claims into the
     registry: ``verdict = 'new'`` docs only, reduced to the MIN-doc_id
@@ -189,9 +201,14 @@ def admit_new_band_rows(
     already holds (a failed-verify collision must not steal an
     existing band — first claimant keeps it forever). The anti-join's
     store read is bucket-pruned like the judge's. Returns the store's
-    merge audit dict."""
+    merge audit dict. ``bands``: the same persisted band grain the
+    judge took (see :func:`delta_neardup_verdicts`)."""
     new_docs = verdicts.filter(F.col("verdict") == "new").select("doc_id")
-    nb = band_rows(batch_docs.join(new_docs, "doc_id"))
+    if bands is None:
+        bands = band_rows(batch_docs.join(new_docs, "doc_id"))
+        nb = bands
+    else:
+        nb = bands.join(new_docs, "doc_id")
     reduced = (
         nb.groupBy("band_key")
         .agg(F.min_by(F.struct("doc_id", "hs"), F.col("doc_id")).alias("_w"))
@@ -337,10 +354,12 @@ def incremental_store_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.delete(hpath, True)
     store = neardup_band_store(spark, root, n_buckets=_N_BUCKETS)
 
-    v1 = delta_neardup_verdicts(d1, store)
-    admit_new_band_rows(v1, d1, store)
-    v2 = delta_neardup_verdicts(d2, store)
+    b1 = band_rows(d1).persist()  # the 8-salted-md5 minhash map runs
+    b2 = band_rows(d2).persist()  # once per delta, not once per use
+    v1 = delta_neardup_verdicts(d1, store, bands=b1)
+    admit_new_band_rows(v1, d1, store, bands=b1)
+    v2 = delta_neardup_verdicts(d2, store, bands=b2)
     cols = ["doc_id", "verdict", "canonical_doc_id"]
     out = v1.select(*cols).unionByName(v2.select(*cols)).orderBy("doc_id")
-    out._cached_deps = [hsl]
+    out._cached_deps = [hsl, b1, b2]
     return out

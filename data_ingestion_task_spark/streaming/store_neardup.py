@@ -37,6 +37,7 @@ from pyspark.sql.types import StructType
 from ..plans.dedup_plans import hashed_shingles
 from ..plans.neardup_store_plans import (
     admit_new_band_rows,
+    band_rows,
     delta_neardup_verdicts,
     neardup_band_store,
 )
@@ -49,6 +50,34 @@ __all__ = [
     "start_store_neardup_ingest",
     "store_admitted",
 ]
+
+
+def _neardup_gate(store, verdict_dir: str, text_col: str, threshold: float):
+    """The shared foreachBatch body: shingle-hash → band grain
+    (persisted — the 8-salted-md5 minhash map runs once, not once per
+    judge/admit reference) → judge ONCE against the pre-merge store →
+    append verdict log → admit (the delta_neardup_verdicts staleness
+    contract: both consumers read the persisted frame)."""
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        docs = batch.select(
+            "doc_id", hashed_shingles(F.col(text_col), 3).alias("hs")
+        ).persist()
+        bands = band_rows(docs).persist()
+        try:
+            verdicts = delta_neardup_verdicts(
+                docs, store, threshold=threshold, bands=bands
+            ).persist()
+            try:
+                verdicts.write.mode("append").parquet(verdict_dir)
+                admit_new_band_rows(verdicts, docs, store, bands=bands)
+            finally:
+                verdicts.unpersist()
+        finally:
+            bands.unpersist()
+            docs.unpersist()
+
+    return _gate
 
 
 def start_store_neardup_ingest(
@@ -74,27 +103,8 @@ def start_store_neardup_ingest(
         .parquet(inbox)
     )
 
-    def _gate(batch: DataFrame, _batch_id: int) -> None:
-        docs = batch.select(
-            "doc_id", hashed_shingles(F.col(text_col), 3).alias("hs")
-        ).persist()  # feeds the judge (twice: corpus + pair sides) and
-        # the admit's band re-derivation — one shingle-hash pass
-        try:
-            verdicts = delta_neardup_verdicts(
-                docs, store, threshold=threshold
-            ).persist()  # judged ONCE against the pre-merge store; both
-            # the log write and the admit read this frame (the
-            # delta_neardup_verdicts staleness contract)
-            try:
-                verdicts.write.mode("append").parquet(verdict_dir)
-                admit_new_band_rows(verdicts, docs, store)
-            finally:
-                verdicts.unpersist()
-        finally:
-            docs.unpersist()
-
     return (
-        stream.writeStream.foreachBatch(_gate)
+        stream.writeStream.foreachBatch(_neardup_gate(store, verdict_dir, text_col, threshold))
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -138,24 +148,8 @@ def start_dual_neardup_ingest(
     )
     gated = dedup_stream(ingest_transform(stream), watermark=watermark)
 
-    def _gate(batch: DataFrame, _batch_id: int) -> None:
-        docs = batch.select(
-            "doc_id", hashed_shingles(F.col(text_col), 3).alias("hs")
-        ).persist()
-        try:
-            verdicts = delta_neardup_verdicts(
-                docs, store, threshold=threshold
-            ).persist()
-            try:
-                verdicts.write.mode("append").parquet(verdict_dir)
-                admit_new_band_rows(verdicts, docs, store)
-            finally:
-                verdicts.unpersist()
-        finally:
-            docs.unpersist()
-
     return (
-        gated.writeStream.foreachBatch(_gate)
+        gated.writeStream.foreachBatch(_neardup_gate(store, verdict_dir, text_col, threshold))
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
