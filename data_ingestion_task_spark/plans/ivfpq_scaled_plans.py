@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.pq_train import scaled_sample_cap
 from .ivfpq_trained_plans import (
+    _N_PROBE,
     _SAMPLE,
     _SEED_MOD,
     _trained_lifecycle,
@@ -94,4 +95,59 @@ def ivfpq_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = scaled_sample_cap(x.count(), seed_mod=_SEED_MOD, floor=_SAMPLE)
     return _trained_lifecycle(
         spark, sf_dir, cap, coarse_trainer=train_ivf_codebook_blas
+    )
+
+
+#: Searched-fraction divisor for the corpus-tracking probe rule:
+#: n_probe = max(_N_PROBE, nlist // 16) holds the searched cell
+#: fraction at ~1/16 as nlist ≈ √N grows — the §module-docstring
+#: recall give-back (13–22% at fixed n_probe=2) is what this buys
+#: back, at candidate cost still √N-bounded per extra probe.
+_PROBE_DIV = 16
+
+#: The oracle's probe count as a scalar subquery over the TRAINED
+#: centroid CTE (kcn) — the same GREATEST(floor, nlist // div) the
+#: Spark side computes from the persisted codebook's row count, so
+#: both engines probe the identical cell set.
+_NPV_TAIL = f""",
+npv AS (SELECT GREATEST({_N_PROBE}, COUNT(*) // {_PROBE_DIV}) AS np
+        FROM kcn)"""
+
+
+def scaled_n_probe(nlist: int) -> int:
+    """The corpus-tracking probe rule: hold the searched fraction at
+    ~1/``_PROBE_DIV`` of the (√N-sized) cell count, floored at the
+    registered pin."""
+    return max(_N_PROBE, nlist // _PROBE_DIV)
+
+
+@query(
+    "ivfpq_scaled_probe_topk",
+    oracle=_trained_oracle(
+        _SCALED_LIMIT, n_probe="(SELECT np FROM npv)", extra_ctes_tail=_NPV_TAIL
+    ),
+)
+def ivfpq_scaled_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ivfpq_scaled_topk`` with the PROBE side also corpus-tracking:
+    n_probe = max(2, nlist // 16) (``scaled_n_probe``), turning the
+    module docstring's production guidance — scale n_probe as nlist
+    grows or give back recall — into a certified query instead of
+    prose. At the driver's sf0.01 both rules floor to n_probe=2 (tiny
+    nlist), so the gate certifies the DERIVATION machinery; the recall
+    effect lives at sf1/sf10 (`tools/recall_ab.py`, SCALE.md §0c).
+    Oracle parity: the probe count is a scalar subquery over the
+    trained-centroid CTE, bit-equal to the Spark side's
+    ``codebook.count() // 16`` because the codebook itself is
+    parity-pinned (``tests/test_ivf_train.py``)."""
+    from ..operators.ivf_train import train_ivf_codebook_blas
+    from ._vector_shared import _split
+
+    _, x = _split(spark, sf_dir)
+    cap = scaled_sample_cap(x.count(), seed_mod=_SEED_MOD, floor=_SAMPLE)
+    return _trained_lifecycle(
+        spark,
+        sf_dir,
+        cap,
+        coarse_trainer=train_ivf_codebook_blas,
+        probe_rule=scaled_n_probe,
     )

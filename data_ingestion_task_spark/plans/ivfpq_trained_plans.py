@@ -108,18 +108,26 @@ pc0 AS (SELECT s.j, h.code, s.sub AS cv FROM psub s JOIN phead h USING (id)),
 {",".join(_d_pq_round(r, f"pc{r - 1}") for r in range(1, _ROUNDS + 1))}"""
 
 
-def _trained_oracle(smp_limit_sql: str) -> str:
-    """The full trained-lifecycle oracle for a given sample LIMIT."""
+def _trained_oracle(
+    smp_limit_sql: str,
+    n_probe: int | str = _N_PROBE,
+    extra_ctes_tail: str = "",
+) -> str:
+    """The full trained-lifecycle oracle for a given sample LIMIT.
+    ``n_probe`` may be a scalar-subquery string (the corpus-tracking
+    probe rule — it lands in the single ``rn <= {{n_probe}}`` probe
+    filter); ``extra_ctes_tail`` appends CTEs after the training chain
+    (they may reference ``kcn``/``pc{{rounds}}``)."""
     return f"""
     SELECT qid AS query_id, rank AS rnk, nid AS neighbor_id,
            round(sim, 9) AS sim
     FROM ({duckdb_ivfpq_sql(
         None,
         k=_K,
-        n_probe=_N_PROBE,
+        n_probe=n_probe,
         overscan=_OVERSCAN,
         emb_table="embeddings",
-        extra_ctes=_train_ctes(smp_limit_sql),
+        extra_ctes=_train_ctes(smp_limit_sql) + extra_ctes_tail,
         books_sql=f"SELECT j, code, cv FROM pc{_ROUNDS}",
         cent_sql="SELECT centroid_id AS cid, cv FROM kcn",
         pq_shape=(_M, _D_SUB),
@@ -133,6 +141,7 @@ def _trained_lifecycle(
     sf_dir: str,
     sample_cap: int,
     coarse_trainer=train_ivf_codebook,
+    probe_rule=None,
 ) -> DataFrame:
     """Train both codebooks on a ``sample_cap``-row deterministic
     hash-sample, then run the certified probe → ADC → exact-re-rank
@@ -142,7 +151,11 @@ def _trained_lifecycle(
     sample, the BLAS-assignment ``train_ivf_codebook_blas`` for
     corpus-tracking caps (assignment-identical — see
     ``operators/ivf_train.py``); both are drop-in because the trained
-    artifact is bit-identical."""
+    artifact is bit-identical. ``probe_rule``: optional
+    ``nlist -> n_probe`` callable (the corpus-tracking probe scaling,
+    ``ivfpq_scaled_probe_topk``); it costs one count() on the
+    PERSISTED nlist-row codebook — metadata-grade, same class as the
+    cap derivation."""
     q, x = _split(spark, sf_dir)
     x = x.select("neighbor_id", "embedding")
     h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
@@ -166,11 +179,12 @@ def _trained_lifecycle(
         _N_CODES,
         _D_SUB,
     )
+    n_probe = _N_PROBE if probe_rule is None else probe_rule(cb.count())
     res = knn_join_ivfpq(
         x,
         q.select("query_id", "embedding"),
         k=_K,
-        n_probe=_N_PROBE,
+        n_probe=n_probe,
         overscan=_OVERSCAN,
         codebook=cb,
         codebooks=books,

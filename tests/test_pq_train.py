@@ -164,3 +164,25 @@ def test_scaled_sample_cap_tracks_isqrt():
                             CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) AS s0)"""
         ).fetchone()[0]
         assert got == scaled_sample_cap(n), n
+
+
+def test_scaled_n_probe_rule_matches_oracle_expr():
+    """The corpus-tracking probe rule (n_probe = max(pin, nlist//16))
+    must bit-match the oracle's GREATEST(pin, COUNT(*)//16) scalar
+    subquery for every nlist the lifecycle can produce."""
+    import duckdb
+
+    from data_ingestion_task_spark.plans.ivfpq_scaled_plans import (
+        _PROBE_DIV,
+        scaled_n_probe,
+    )
+
+    assert scaled_n_probe(0) == 2
+    assert scaled_n_probe(32) == 2  # the sf0.1 / pinned regime: floor
+    assert scaled_n_probe(126) == 7  # sf1
+    assert scaled_n_probe(390) == 24  # sf10
+    for nlist in (0, 1, 15, 16, 17, 31, 32, 33, 126, 390, 1000):
+        got = duckdb.sql(
+            f"SELECT GREATEST(2, {nlist}::BIGINT // {_PROBE_DIV})"
+        ).fetchone()[0]
+        assert got == scaled_n_probe(nlist), nlist

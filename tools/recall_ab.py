@@ -57,7 +57,12 @@ def main() -> int:
         )
         exact.count()
         row: dict[str, float] = {"n_queries": nq}
-        for name in ("ivfpq_trained_topk", "ivfpq_scaled_topk", "ann_ivfpq_topk"):
+        for name in (
+            "ivfpq_trained_topk",
+            "ivfpq_scaled_topk",
+            "ivfpq_scaled_probe_topk",
+            "ann_ivfpq_topk",
+        ):
             res = registry.REGISTRY[name].fn(spark, sf_dir)
             hits = (
                 res.select("query_id", "neighbor_id")
