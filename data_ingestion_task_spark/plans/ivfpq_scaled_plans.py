@@ -43,10 +43,14 @@ avoid). The production answer is REGISTERED below:
 ``ivfpq_scaled_probe_topk`` holds the searched fraction at nlist/16
 (``scaled_n_probe``) and measured recall@3 **0.169 at sf1 / 0.102 at
 sf10** — beating even the frozen pin (+31% / +52%) at the same
-asymptotic candidate budget ((nlist/16)·√N ≈ N/16 ≈ the frozen pin's
-2·N/32), because the budget is spent across many well-trained
-√N-cells instead of two huge stale ones. This query keeps n_probe=2
-as the fixed-knob twin the A/B compares against.
+candidate budget ((nlist/16)·√N ≈ N/16 ≈ the frozen pin's 2·N/32),
+because the budget is spent across many well-trained √N-cells instead
+of two huge stale ones. The wall parity is MEASURED: same-session
+sf10 A/B probe-rule 840.1s vs frozen 868.5s (0.97×) — equal wall,
++52% recall, so the probe rule strictly dominates the frozen pin
+(SCALE.md §0c for the full sweep and the load-ambient caveats). This
+query keeps n_probe=2 as the fixed-knob twin the A/B compares
+against.
 """
 
 from __future__ import annotations
