@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import hash64, normalized_for_fingerprint
+from .width import widen_if_narrow
 
 #: DSIR hashed-unigram bucket count (re-exported by plans/quality_plans).
 DSIR_BUCKETS = 256
@@ -78,10 +79,12 @@ def trigram_nll(
 def _trigram_grain(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The (id, tri, k) grain both the model and the per-doc score
     derive from (one JVM regex pass — module docstring)."""
+    # The regex normalize + trigram explode is the per-row cost center;
+    # widen a starved (single-row-group) scan so it parallelizes
+    # (no-op on healthy layouts — functions/width.py).
     t = (
-        docs.select(
-            id_col, normalized_for_fingerprint(F.col(text_col)).alias("txt")
-        )
+        widen_if_narrow(docs.select(id_col, text_col))
+        .select(id_col, normalized_for_fingerprint(F.col(text_col)).alias("txt"))
         .filter(F.length("txt") >= 3)
     )
     tri = t.select(
@@ -162,6 +165,9 @@ def _word_buckets(
 ) -> DataFrame:
     """The (id, [carry], _is_target, bucket) word grain both the rate
     table and the per-doc mean derive from."""
+    # Same starved-scan guard as the trigram grain: the normalize +
+    # word explode serializes on a 1-partition input otherwise.
+    docs = widen_if_narrow(docs)
     d = docs.select(
         id_col,
         *carry_cols,
@@ -179,8 +185,13 @@ def _word_buckets(
 
 
 def dsir_rate_from_buckets(w: DataFrame, n_buckets: int) -> DataFrame:
-    """The DSIR rate table ``(bucket, lr DECIMAL(18,6))`` from a word
-    grain — ``n_buckets`` rows, broadcastable forever."""
+    """The DSIR rate table ``(bucket, lr DECIMAL(18,6), n_buckets)``
+    from a word grain — ``n_buckets`` rows, broadcastable forever.
+    The table stamps its own modulus (the same ``n_buckets`` column
+    :func:`dsir_rate_model` pins) so a rate table built through THIS
+    path — not just the full trainer — can feed
+    ``streaming/curate.py``'s modulus-deriving scorer (ADVICE r11 #4;
+    a legacy un-stamped table forced a manual column add)."""
     r = w.groupBy("bucket").agg(F.count("*").alias("cr"))
     t = w.filter(F.col("_is_target")).groupBy("bucket").agg(F.count("*").alias("ct"))
     tot = w.agg(
@@ -203,6 +214,7 @@ def dsir_rate_from_buckets(w: DataFrame, n_buckets: int) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("lr"),
         )
+        .withColumn("n_buckets", F.lit(n_buckets))
     )
 
 
@@ -223,4 +235,4 @@ def dsir_rate_model(
     ``dsir_logweight_score`` derives its modulus from this column."""
     return dsir_rate_from_buckets(
         _word_buckets(docs, target_pred, text_col, id_col, n_buckets), n_buckets
-    ).withColumn("n_buckets", F.lit(n_buckets))
+    )

@@ -116,7 +116,14 @@ def delta_neardup_verdicts(
 ) -> DataFrame:
     """Judge a batch of ``(doc_id, hs)`` docs against the maintained
     band registry: returns ``(doc_id, verdict, canonical_doc_id)``
-    under the module-docstring semantics. The store side is
+    under the module-docstring semantics.
+
+    Contract: ``batch_docs`` carries UNIQUE doc_ids (the same
+    one-row-per-key contract the exact store's judge states) — the
+    pair self-join filters ``a.doc_id > b.doc_id``, so two rows
+    sharing a doc_id (inbox file duplication) would each read 'new'
+    and both land in a caller's verdict log (ADVICE r11 #3).
+    ``dropDuplicates(['doc_id'])`` upstream if a source can repeat. The store side is
     bucket-pruned to the batch's band keys (``read_for`` — the same
     hit-bucket discipline as the exact judge), and verification
     compares int64 shingle arrays already in hand on both sides — no

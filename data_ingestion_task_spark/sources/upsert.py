@@ -382,19 +382,36 @@ class KeyedParquetStore:
         self._repair()
         if self.key not in keys_df.columns:
             raise ValueError(f"keys_df missing key column {self.key!r}")
-        key_col = F.col(self.key)
-        if self._key_type is not None:
-            key_col = key_col.cast(self._key_type)
-        hit = sorted(
-            r["b"]
-            for r in keys_df.select(self._bucket_expr(key_col).alias("b"))
-            .distinct()
-            .collect()
-        )
+        # Empty-store check BEFORE the probe collect: the probe fully
+        # evaluates keys_df's lineage (for the near-dup judge, the whole
+        # minhash/band stage), which a first-ever batch would pay just to
+        # raise here (ADVICE r11 #1).
         present = set(self._existing_buckets())
         if not present:
             raise FileNotFoundError(
                 f"keyed store at {self.root} has no data yet — merge first"
+            )
+        key_col = F.col(self.key)
+        if self._key_type is not None:
+            key_col = key_col.cast(self._key_type)
+        # NULL keys fold into the same bounded collect as the bucket probe
+        # (mirrors merge()'s null guard): a NULL key would silently hash
+        # to a bucket, read as 'new', and only blow up inside the later
+        # merge() — AFTER a caller's verdict-log append (ADVICE r11 #2).
+        hit = sorted(
+            r["b"]
+            for r in keys_df.select(
+                F.when(key_col.isNull(), F.lit(-1))
+                .otherwise(self._bucket_expr(key_col))
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if hit and hit[0] == -1:
+            raise ValueError(
+                f"NULL {self.key!r} in probe keys — a NULL key has no MERGE "
+                "identity; filter or key upstream (same contract as merge())"
             )
         dirs = [self._bucket_dir(n) for n in hit if n in present]
         if not dirs:

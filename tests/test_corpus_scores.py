@@ -65,3 +65,24 @@ def test_dsir_logweights_custom_columns_and_direction(spark):
         docs, target_pred=F.col("l") == "en", text_col="body", id_col="id"
     )
     assert slim.columns == ["id", "n_words", "dsir_logweight"]
+
+
+def test_dsir_rate_from_buckets_stamps_modulus(spark):
+    """ADVICE r11 #4: the PUBLIC rate-table builder must stamp its own
+    n_buckets column (not just the full trainer), so any rate table
+    reaching streaming/curate.py's modulus-deriving scorer carries its
+    modulus."""
+    from data_ingestion_task_spark.functions.corpus_scores import (
+        _word_buckets,
+        dsir_rate_from_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "delta epsilon", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = _word_buckets(docs, F.col("is_t"), "text", "doc_id", 64)
+    rate = dsir_rate_from_buckets(w, 64)
+    assert "n_buckets" in rate.columns
+    vals = {r["n_buckets"] for r in rate.select("n_buckets").collect()}
+    assert vals == {64}

@@ -279,3 +279,31 @@ def test_read_for_absent_buckets_and_empty_store(spark, tmp_path):
     # missing key column is a loud error
     with pytest.raises(ValueError, match="missing key column"):
         st.read_for(spark.createDataFrame([(1,)], "wrong long"))
+
+
+def test_read_for_empty_store_raises_before_probe_evaluation(spark, tmp_path):
+    """ADVICE r11 #1: a first-ever batch must get FileNotFoundError
+    WITHOUT paying the probe's lineage (for the near-dup judge that is
+    the whole minhash/band stage). The probe here raises if evaluated —
+    the store-empty check must win."""
+    st = _mk(spark, tmp_path, n_buckets=8)
+
+    def boom(batches):
+        raise RuntimeError("probe lineage was evaluated")
+        yield  # pragma: no cover
+
+    probe = spark.createDataFrame([(1,)], "k long").mapInPandas(boom, "k long")
+    with pytest.raises(FileNotFoundError):
+        st.read_for(probe)
+
+
+def test_read_for_null_probe_key_rejected(spark, tmp_path):
+    """ADVICE r11 #2: a NULL probe key must fail loudly in read_for
+    (mirroring merge()'s guard) instead of silently hashing to a
+    bucket, reading as 'new', and blowing up later inside merge() —
+    after a caller's verdict-log append."""
+    st = _mk(spark, tmp_path, n_buckets=8)
+    st.merge(_df(spark, [(1, "a")]))
+    probe = spark.createDataFrame([(None,), (1,)], "k long")
+    with pytest.raises(ValueError, match="NULL"):
+        st.read_for(probe)
