@@ -49,6 +49,24 @@ _SAMPLE = 1024  # training-sample cap (the ivf_kmeans_refine idiom)
 _ROUNDS = 2  # Lloyd rounds, both trainers
 
 
+def _sample_shuffle_partitions(cap: int, dim: int) -> int:
+    """Initial shuffle-partition count for the SAMPLE-bounded trainer
+    stages, derived from the sample's bytes (guide §2.2: size shuffle
+    partitions by data volume, never by a constant tuned to one
+    deployment). The trainer's widest exchange carries ≤ cap rows of
+    ~(dim·8B + overhead); target ~64 MB per partition — cap=1024 →
+    1 partition, cap=32·√(10¹⁰)=3.2M → ~29. Without this, the
+    trainers' ~10 KB exchanges inherit the session's corpus-sized
+    shuffle width and AQE's parallelism-first coalescing still leaves
+    ~cores micro-tasks per stage: measured 10.7s of the pinned
+    lifecycle's 15.3s steady-state wall at sf0.1 (two trainers on a
+    1024-row persisted sample — scheduling, not compute)."""
+    from math import ceil
+
+    row_bytes = dim * 8 + 64
+    return max(1, ceil(cap * row_bytes / (64 << 20)))
+
+
 def _d_pq_round(r: int, prev: str) -> str:
     """One PQ Lloyd round as DuckDB CTEs: assign each (id, subspace)
     slice to its argmin-``‖c‖²−2x·c`` code (ties to the lowest code),
@@ -170,16 +188,36 @@ def _trained_lifecycle(
     # broadcast, and the probe broadcast — persist the tiny frame so
     # the chain runs once (bit-identical results, measured ~2× on the
     # registered query's wall at sf0.1).
-    cb = coarse_trainer(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
-    books = collect_codebooks(
-        train_pq_codebooks_df(
-            smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS
-        ),
-        _M,
-        _N_CODES,
-        _D_SUB,
+    #
+    # Both trainers' exchanges are SAMPLE-bounded (≤ cap rows of
+    # dim doubles), so their many Lloyd-round stages are materialized
+    # under a sample-byte-derived shuffle width instead of the
+    # session's corpus-sized one (guide §2.2; see
+    # ``_sample_shuffle_partitions``). The decimal-quantized trainer
+    # arithmetic is partitioning-independent BY DESIGN (the module
+    # docstrings' bit-reproducibility contract, pinned by
+    # ``tests/test_ivf_train.py`` / the DuckDB twins), so the trained
+    # artifacts — and every downstream result — are bit-identical; the
+    # conf is restored before any corpus-sized search stage runs.
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_old = spark.conf.get(_sp_key)
+    spark.conf.set(
+        _sp_key, str(_sample_shuffle_partitions(sample_cap, DIM))
     )
-    n_probe = _N_PROBE if probe_rule is None else probe_rule(cb.count())
+    try:
+        cb = coarse_trainer(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
+        nlist = cb.count()  # forces the coarse chain under the scoped width
+        books = collect_codebooks(
+            train_pq_codebooks_df(
+                smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS
+            ),
+            _M,
+            _N_CODES,
+            _D_SUB,
+        )
+    finally:
+        spark.conf.set(_sp_key, _sp_old)
+    n_probe = _N_PROBE if probe_rule is None else probe_rule(nlist)
     res = knn_join_ivfpq(
         x,
         q.select("query_id", "embedding"),

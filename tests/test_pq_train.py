@@ -186,3 +186,39 @@ def test_scaled_n_probe_rule_matches_oracle_expr():
             f"SELECT GREATEST(2, {nlist}::BIGINT // {_PROBE_DIV})"
         ).fetchone()[0]
         assert got == scaled_n_probe(nlist), nlist
+
+
+def test_sample_shuffle_partitions_scale_rule():
+    """The trainer-stage shuffle width is derived from sample BYTES
+    (guide §2.2) — 1 partition at the registered pins, growing with
+    the corpus-tracking cap, never zero."""
+    from data_ingestion_task_spark.plans.ivfpq_trained_plans import (
+        _sample_shuffle_partitions,
+    )
+
+    assert _sample_shuffle_partitions(1024, 64) == 1
+    assert _sample_shuffle_partitions(1, 64) == 1
+    # cap for a 10B-row corpus: 32·isqrt(1e10) = 3.2M rows → tens of
+    # 64MB partitions, not 1 and not thousands
+    big = _sample_shuffle_partitions(3_200_000, 64)
+    assert 10 <= big <= 64
+    assert _sample_shuffle_partitions(10_000_000, 64) >= big
+
+
+def test_trained_lifecycle_restores_shuffle_width(spark, sf_dir):
+    """The trainer-scoped shuffle width must be restored before the
+    query returns (the search stages and every later query in the
+    session run at the session width) — including the pre-existing
+    session value, whatever it is."""
+    from data_ingestion_task_spark import api
+    from data_ingestion_task_spark.plans.ivfpq_trained_plans import (
+        ivfpq_trained_topk,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    df = ivfpq_trained_topk(spark, sf_dir)
+    assert spark.conf.get(key) == before  # restored at plan-build time
+    df.collect()
+    assert spark.conf.get(key) == before
+    api.release(df)

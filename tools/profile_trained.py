@@ -73,59 +73,85 @@ def main() -> None:
     t0 = time.time()
     marks.clear()
 
-    if args.scaled:
-        from data_ingestion_task_spark.operators.ivf_train import (
-            train_ivf_codebook_blas,
+    # Two iterations: iteration 1 pays JIT/codegen warmup (a first
+    # execution of this query costs ~3-4x steady state); iteration 2
+    # is the phase split that matches the bench's min-of-N numbers.
+    for it in (1, 2):
+        t0 = time.time()
+        marks.clear()
+
+        if args.scaled:
+            from data_ingestion_task_spark.operators.ivf_train import (
+                train_ivf_codebook_blas,
+            )
+
+            cap = scaled_sample_cap(x.count(), seed_mod=_SEED_MOD, floor=_SAMPLE)
+            trainer = train_ivf_codebook_blas
+            mark(f"cap derivation (cap={cap})")
+        else:
+            cap = _SAMPLE
+            trainer = train_ivf_codebook
+
+        h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
+        smp = x.orderBy(h.asc(), F.col("neighbor_id").asc()).limit(cap).persist()
+        smp.count()
+        mark("sample persisted")
+
+        # mirror _trained_lifecycle's sample-scoped shuffle width
+        from data_ingestion_task_spark.plans.ivfpq_trained_plans import (
+            _sample_shuffle_partitions,
         )
 
-        cap = scaled_sample_cap(x.count(), seed_mod=_SEED_MOD, floor=_SAMPLE)
-        trainer = train_ivf_codebook_blas
-        mark(f"cap derivation (cap={cap})")
-    else:
-        cap = _SAMPLE
-        trainer = train_ivf_codebook
+        _sp_key = "spark.sql.shuffle.partitions"
+        _sp_old = spark.conf.get(_sp_key)
+        spark.conf.set(_sp_key, str(_sample_shuffle_partitions(cap, DIM)))
+        try:
+            cb = trainer(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
+            nlist = cb.count()
+            mark(f"coarse trainer materialized (nlist={nlist})")
 
-    h = hash64(F.concat(F.lit("ivfpqsmp:"), F.col("neighbor_id").cast("string")))
-    smp = x.orderBy(h.asc(), F.col("neighbor_id").asc()).limit(cap).persist()
-    smp.count()
-    mark("sample persisted")
+            books = collect_codebooks(
+                train_pq_codebooks_df(smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS),
+                _M,
+                _N_CODES,
+                _D_SUB,
+            )
+            mark("pq trainer collected")
+        finally:
+            spark.conf.set(_sp_key, _sp_old)
 
-    cb = trainer(smp, seed_mod=_SEED_MOD, rounds=_ROUNDS).persist()
-    nlist = cb.count()
-    mark(f"coarse trainer materialized (nlist={nlist})")
+        res = knn_join_ivfpq(
+            x,
+            q.select("query_id", "embedding"),
+            k=3,
+            n_probe=_N_PROBE,
+            overscan=_OVERSCAN,
+            codebook=cb,
+            codebooks=books,
+            broadcast_queries=True,
+        )
+        out = res.select(
+            "query_id",
+            F.col("rank").alias("rnk"),
+            "neighbor_id",
+            F.round("sim", 9).alias("sim"),
+        ).orderBy("query_id", "rnk")
+        mark("search plan built (build actions done)")
 
-    books = collect_codebooks(
-        train_pq_codebooks_df(smp, dim=DIM, m=_M, n_codes=_N_CODES, rounds=_ROUNDS),
-        _M,
-        _N_CODES,
-        _D_SUB,
-    )
-    mark("pq trainer collected")
-
-    res = knn_join_ivfpq(
-        x,
-        q.select("query_id", "embedding"),
-        k=3,
-        n_probe=_N_PROBE,
-        overscan=_OVERSCAN,
-        codebook=cb,
-        codebooks=books,
-        broadcast_queries=True,
-    )
-    out = res.select(
-        "query_id",
-        F.col("rank").alias("rnk"),
-        "neighbor_id",
-        F.round("sim", 9).alias("sim"),
-    ).orderBy("query_id", "rnk")
-    mark("search plan built (build actions done)")
-
-    out.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in out.columns])).alias("chk"),
-    ).collect()
-    mark("search materialized")
-    print({"phases": marks})
+        # bench.py sums raw xxhash64 (ANSI long overflow is possible in
+        # principle but has never fired across r01-r12 bench runs); the
+        # profiler mods the hash down so repeated profiling runs can't
+        # die on an unlucky partial-sum ordering — same full
+        # materialization, different checksum.
+        out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in out.columns]) % F.lit(1_000_000_007)
+            ).alias("chk"),
+        ).collect()
+        mark("search materialized")
+        print({"iteration": it, "phases": marks})
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
