@@ -199,6 +199,21 @@ def _trained_lifecycle(
     # ``tests/test_ivf_train.py`` / the DuckDB twins), so the trained
     # artifacts — and every downstream result — are bit-identical; the
     # conf is restored before any corpus-sized search stage runs.
+    #
+    # Materialize the sample BEFORE narrowing: the corpus-wide
+    # orderBy().limit() scan then runs at session width (it plans as a
+    # shuffle-free TakeOrderedAndProject today, but a future
+    # sort-fallback plan would otherwise run a corpus-sized exchange at
+    # ~1 partition), and tools/profile_trained.py — which materializes
+    # the sample before narrowing — mirrors the executed plan (ADVICE
+    # r12 #1).
+    smp.count()
+    # NOTE: spark.conf.set mutates the SESSION — any query executing
+    # concurrently on this SparkSession would plan its shuffles at the
+    # narrowed width. The bench/driver/tests all run queries serially,
+    # which this relies on; for concurrent use, scope the width
+    # per-stage (repartition the trainer inputs) instead (ADVICE r12
+    # #2).
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_old = spark.conf.get(_sp_key)
     spark.conf.set(

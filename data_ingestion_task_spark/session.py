@@ -37,6 +37,21 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Generated-class cache (default 100 entries): several single
+        # queries here emit MORE codegen units than that by themselves
+        # (measured: dedup_cluster_star 198, ivfpq_recall_audit 145,
+        # curated_corpus_audit 104 — AQE materializes one unit per
+        # query stage), so identical generated code is Janino-compiled
+        # over and over within one session — measured 1329 recompiles
+        # vs 50 on a 20-query pass, 116-120s vs 90-101s wall
+        # (order-reversed A/B, plans/r13/codegen_cache_ab.json). Any
+        # long-lived session running many plans (a 100 TB pipeline's
+        # driver as much as this bench) wants the cache to cover its
+        # working set; entries are compiled classes, not data.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8192"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -46,6 +46,27 @@ def test_udf_matches_driver_twin(spark):
         assert got[i] == hashing_embed(t, 16, "enc"), t
 
 
+def test_memo_cap_eviction_preserves_bit_equality(monkeypatch):
+    """Filling the per-worker memo past its cap (guide §5: bound
+    long-lived executor state) must drop-and-rebuild without changing
+    a single output bit — every entry is a pure md5 derivation."""
+    import data_ingestion_task_spark.operators.encode as enc
+    import pandas as pd
+
+    monkeypatch.setattr(enc, "_HASH_BUCKET_MEMO_MAX", 4)
+    monkeypatch.setattr(enc, "_HASH_BUCKET_MEMO", {})
+    udf = enc.hashing_encoder_udf(16)
+    # the wrapped python function of the pandas_udf
+    fn = udf.func
+    texts = pd.Series(TEXTS + ["alpha beta gamma delta epsilon zeta eta theta"])
+    out1 = fn(texts)
+    memo = enc._HASH_BUCKET_MEMO[("enc", 16)]
+    assert len(memo) <= 4  # cap enforced (cleared + refilled)
+    out2 = fn(texts)  # second pass crosses the cap again
+    for a, b, t in zip(out1, out2, texts):
+        assert a == b == enc.hashing_embed(t, 16, "enc")
+
+
 def test_duckdb_twin_matches(duck):
     import duckdb
 

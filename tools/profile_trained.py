@@ -70,8 +70,6 @@ def main() -> None:
     ncpu = spark.sparkContext.defaultParallelism
     spark.range(ncpu * 8).repartition(ncpu * 2).mapInPandas(_warm, "id long").count()
     mark("warmup done")
-    t0 = time.time()
-    marks.clear()
 
     # Two iterations: iteration 1 pays JIT/codegen warmup (a first
     # execution of this query costs ~3-4x steady state); iteration 2
